@@ -1,0 +1,77 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a full collect (mirrors the driver's verify,
+which collects results for hashing).  Each query is timed individually
+after a shared-session warm-up query so JVM/codegen startup is not
+billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from pg_telemetry_spark.registry import all_queries  # noqa: E402
+from pg_telemetry_spark.session import get_session  # noqa: E402
+
+#: Headline queries (grown as operators land); anything missing from
+#: the registry is skipped so bench never breaks mid-build.
+HEADLINE = [
+    "flagship_hourly_top20",
+    "join_multiway",
+    "agg_group_hash",
+    "win_lag_delta",
+    "ts_session",
+    "llm_cosine_topk",
+    "llm_dedup_near",
+    "llm_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_session("pg_telemetry_spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm-up: JVM, codegen, parquet footer caches
+    if names:
+        registry[names[0]].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Query modules — importing this package registers every operator.
+
+Each module covers one group of SURVEY.md §2's operator inventory.
+"""
+
+from pg_telemetry_spark.queries import (  # noqa: F401
+    flagship,
+)

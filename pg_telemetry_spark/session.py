@@ -1,0 +1,80 @@
+"""SparkSession factory and session preparation.
+
+Two entry points:
+
+- :func:`get_session` — build a local session with the engine's
+  required configuration (tests, bench).
+- :func:`prepare_session` — apply the runtime-settable required confs
+  to an EXISTING session (the driver owns the session for the
+  ``__spark_entry__`` contract; these confs are all ``spark.sql.*``
+  runtime confs, verified settable post-creation).
+
+Required confs and why:
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events``
+  fixture stores ``ts`` as Parquet TIMESTAMP(NANOS), which Spark 4
+  refuses by default ([PARQUET_TYPE_ILLEGAL]); with this conf it reads
+  as nanosecond longs that :mod:`pg_telemetry_spark.tables` converts
+  to microsecond timestamps (verified to match DuckDB exactly).
+- ``spark.sql.session.timeZone=UTC`` — all fixture timestamps are
+  timezone-less; UTC pins collect()-side rendering for oracle parity.
+- AQE on (default in Spark 4, set explicitly) — runtime shuffle
+  coalescing and skew-join splitting are the scale story for the
+  100 TB target; local shuffle partitions stay modest and AQE
+  coalesces further.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session the engine uses.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf locked by the host (static conf) — leave as-is;
+            # every conf in RUNTIME_CONFS is runtime-settable on stock
+            # Spark 4, so this is purely defensive.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "pg_telemetry_spark") -> SparkSession:
+    """Build (or fetch) a local session configured for the engine.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all).
+    Shuffle partitions are sized for the local fixture scale; at
+    cluster scale this is AQE-governed (initialPartitionNum high,
+    coalesce down), so the literal number here is not a scale
+    assumption.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return prepare_session(spark)
