@@ -4,5 +4,8 @@ Each module covers one group of SURVEY.md §2's operator inventory.
 """
 
 from pg_telemetry_spark.queries import (  # noqa: F401
+    aggs,
     flagship,
+    joins,
+    relational,
 )
