@@ -8,4 +8,6 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     flagship,
     joins,
     relational,
+    timeseries,
+    windows,
 )

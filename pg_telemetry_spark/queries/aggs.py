@@ -233,8 +233,8 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        round(stddev_samp(value), 6) AS sd_value,
        round(var_samp(value), 6) AS var_value,
-       round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
-       round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+       round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) + 0 AS corr_vk,
+       round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) + 0
          AS covar_vk
 FROM {EVENTS_V} e
 GROUP BY event_type

@@ -26,8 +26,9 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # canonicalize -0.0 and collapse float noise far below round(…,6)
-        return round(v + 0.0, 9)
+        # repr keeps the -0.0/0.0 distinction: the driver's value-hash
+        # may too, so the mirror must be at least that strict
+        return repr(round(v, 9))
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
