@@ -8,6 +8,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     flagship,
     joins,
     relational,
+    scalars,
     timeseries,
     windows,
 )
