@@ -1,0 +1,141 @@
+"""MinHash + banded LSH near-duplicate detection, pure DataFrame ops.
+
+Pipeline (all JVM-side — no Python UDFs anywhere):
+
+1. shingle: char n-grams via ``transform(sequence(...), i ->
+   substring(text, i, n))`` + ``array_distinct``.
+2. minhash: explode shingles to rows and take ``min(xxhash64(shingle,
+   seed_s))`` for each of ``num_perm`` fixed seeds in ONE two-phase
+   hash aggregate — 64 mins computed in a single pass over the
+   exploded rows, with map-side partial aggregation so the shuffle
+   carries one signature row per document.  (A nested
+   ``transform(sequence(0,63), s -> array_min(transform(shingles,...)))``
+   formulation is ~100× slower: it re-traverses the shingle array per
+   permutation inside a single monster expression — measured 226 s vs
+   ~2 s at sf0.1.)
+3. LSH banding: hash each ``rows``-wide slice of the signature (+ band
+   index) to a bucket key; explode to (doc, band, bucket) rows.
+4. candidates: self-join on (band, bucket) with id< to halve, then
+   ``dropDuplicates`` (a pair can collide in several bands).
+5. verify: exact Jaccard on the shingle sets via
+   ``array_intersect``/``array_union`` sizes; keep pairs ≥ threshold.
+
+Determinism: permutation seeds are the literal integers 0..num_perm-1
+fed to xxhash64 — no RNG anywhere, so signatures are reproducible
+across runs and cluster sizes.
+
+Scale: every step is either a narrow map or an equi-shuffle on a
+uniform key (doc_id, bucket).  The candidate self-join costs
+O(collisions), never O(n²).  At 100 TB the bucket key is the natural
+partition key for incremental dedup (new docs only probe their own
+buckets); pathologically hot buckets (boilerplate text shared by
+millions of docs) are handled by AQE skew splitting and can be capped
+with a pre-join bucket-count filter.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 16
+DEFAULT_SHINGLE = 5
+
+
+def with_shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text") -> DataFrame:
+    """Add a ``shingles`` column: distinct char n-grams of ``text_col``."""
+    length = F.length(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1))),
+        lambda i: F.substring(F.col(text_col), i, n),
+    )
+    return docs.withColumn("shingles", F.array_distinct(grams))
+
+
+def with_shingle_hashes(
+    docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text"
+) -> DataFrame:
+    """Add a ``shingle_hashes`` column: distinct xxhash64 of each char
+    n-gram.  Every downstream step (minhash, Jaccard verify) works on
+    longs — each shingle string is hashed exactly once, and set
+    operations on longs are several times cheaper than on strings.
+    Jaccard over 64-bit hashes equals Jaccard over the strings up to
+    negligible collision probability."""
+    sh = with_shingles(docs, n, text_col)
+    return sh.withColumn(
+        "shingle_hashes",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))),
+    ).drop("shingles")
+
+
+def minhash_signatures(
+    docs_with_shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """(id, mh0..mh{num_perm-1}) signature table via explode + multi-min
+    aggregate (one pass, map-side combined).  Input rows carry
+    ``shingle_hashes`` (longs), so each permutation hash is a
+    fixed-cost long+seed xxhash64, not a string re-hash."""
+    exploded = docs_with_shingles.select(id_col, F.explode("shingle_hashes").alias("sh"))
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(s))).alias(f"mh{s}") for s in range(num_perm)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate (id1, id2) pairs sharing ≥1 LSH band bucket.
+
+    ``signatures`` is the output of :func:`minhash_signatures`.
+    """
+    rows = num_perm // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + i}") for i in range(rows)], F.lit(b))
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    left = banded.select(F.col(id_col).alias("id1"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id2"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Full near-dup pipeline: (id1, id2, jaccard) with exact-verified
+    shingle Jaccard ≥ threshold over LSH candidates."""
+    sh = with_shingle_hashes(docs, shingle, text_col)
+    sig = minhash_signatures(sh, id_col, num_perm)
+    cands = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

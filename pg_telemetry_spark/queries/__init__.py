@@ -7,8 +7,10 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     aggs,
     flagship,
     joins,
+    llm,
     relational,
     scalars,
     timeseries,
+    udfs,
     windows,
 )

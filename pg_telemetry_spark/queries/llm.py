@@ -1,0 +1,458 @@
+"""LLM-data-pipeline operators — SURVEY.md §2.10.
+
+Dedup (exact + MinHash-LSH near-dup), similarity search over
+embeddings, text analysis (tokenize/TF-IDF/ngrams/stats), and
+multimodal record assembly.  The fixtures contain no duplicates and
+no planted similarity clusters (verified), so dedup queries inject
+deterministic duplicates by construction and similarity thresholds
+are set to the actual tail of the random-unit-vector distribution.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg_telemetry_spark.operators.minhash import near_duplicates
+from pg_telemetry_spark.operators.similarity import as_double, brute_force_topk, dot
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+#: Deterministic duplicate injection: every 7th doc re-appears with a
+#: shifted id (exact copy) — shared by the Spark and oracle sides.
+_DUP_OFFSET = 1_000_000
+
+_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(dupes)
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-copies (every 7th doc with its last 2 words
+    dropped) — the ground truth the LSH pipeline must recover."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    mutated = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ").alias(
+            "text"
+        ),
+    )
+    return d.unionByName(mutated)
+
+
+@query(
+    "llm_dedup_exact",
+    group="llm",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(text) AS text_md5,
+       count(*) AS n_copies,
+       min(doc_id) AS kept_doc_id
+FROM corpus
+GROUP BY md5(text)
+""",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep the smallest doc_id.
+
+    Scale: groupBy(md5) is a hash shuffle on a uniformly distributed
+    key — no skew by construction; min_by keeps the canonical id
+    without a second pass."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return corpus.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("kept_doc_id"),
+    )
+
+
+@query("llm_dedup_near", group="llm", tier="C")
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (char-5-gram shingles, 64 perms,
+    16 bands × 4 rows, exact-Jaccard verify ≥ 0.5).  Deterministic
+    (fixed literal seeds) but not one-statement-SQL-expressible ->
+    tier C; the unit test asserts every injected near-copy pair is
+    recovered and every reported pair clears the threshold."""
+    return near_duplicates(_near_dup_corpus(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "llm_jaccard_pairs",
+    group="llm",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE doc_id < 80
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2,
+       round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
+""",
+)
+def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard similarity pairs (the verification
+    primitive under near-dedup, oracle-checked on a doc window)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    )
+    a = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
+    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    inter = F.size(F.array_intersect("w1", "w2")).cast("double")
+    union = F.size(F.array_union("w1", "w2"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(inter / union >= 0.2)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+@query(
+    "llm_cosine_topk",
+    group="llm",
+    tier="B",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10)
+SELECT probe_id, vec_id AS neighbor_id,
+       round(list_dot_product(pv, v), 6) AS sim
+FROM p JOIN e ON e.vec_id <> p.probe_id
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY round(list_dot_product(pv, v), 6) DESC, vec_id ASC) <= 5
+""",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-probe set (unit-norm vectors
+    => cosine ≡ dot product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return brute_force_topk(emb, probes, k=5)
+
+
+@query(
+    "llm_sim_join",
+    group="llm",
+    tier="B",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.35
+""",
+)
+def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: all pairs with cosine ≥ 0.35 (the actual
+    tail of the fixture distribution — max pairwise sim is ~0.44).
+
+    Brute force here is the oracle-checkable baseline; the scale path
+    for corpus×corpus is LSH/IVF blocking (see operators/minhash.py),
+    which replaces the crossJoin with an equi-join on a bucket key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id1"), as_double("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), as_double("embedding").alias("v2"))
+    sim = F.round(dot("v1", "v2"), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+        .select("id1", "id2", "sim")
+    )
+
+
+@query(
+    "llm_knn_label",
+    group="llm",
+    tier="B",
+    oracle="""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+topk AS (
+  SELECT probe_id, e.vec_id, e.label
+  FROM p JOIN e ON e.vec_id <> p.probe_id
+  QUALIFY row_number() OVER (PARTITION BY probe_id
+                             ORDER BY round(list_dot_product(pv, v), 6) DESC, e.vec_id ASC) <= 5
+),
+votes AS (
+  SELECT probe_id, label, count(*) AS n_votes
+  FROM topk GROUP BY probe_id, label
+)
+SELECT probe_id, label AS predicted_label, n_votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY n_votes DESC, label ASC) = 1
+""",
+)
+def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote labeling (k=5, ties -> smaller label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, probes, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+@query(
+    "llm_centroid",
+    group="llm",
+    tier="B",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, i, avg(x) AS cx FROM ex GROUP BY label, i
+)
+SELECT ex.vec_id, ex.label,
+       round(sqrt(sum((x - cx) * (x - cx))), 6) AS dist_to_centroid
+FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+GROUP BY ex.vec_id, ex.label
+""",
+)
+def llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector + each vector's distance to its centroid.
+
+    The explode -> avg-per-dimension -> rejoin pattern is fully
+    distributed (scales to 100 TB of vectors, unlike collecting to a
+    driver-side numpy array)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("i", "x")
+    )
+    cent = ex.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    d = F.col("x") - F.col("cx")
+    return (
+        ex.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("dist_to_centroid"))
+    )
+
+
+@query(
+    "llm_tokenize",
+    group="llm",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+)
+SELECT term, n,
+       row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+FROM counts
+ORDER BY rank
+LIMIT 20
+""",
+)
+def llm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization -> global top-20 term frequencies."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).orderBy("rank").limit(20)
+
+
+@query(
+    "llm_tfidf",
+    group="llm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) = 1
+""",
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf; top-scoring term per document.
+
+    N arrives via a 1-row aggregate crossJoin (broadcast scalar) —
+    no driver-side collect in the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("score", 6).alias("score"))
+    )
+
+
+@query(
+    "llm_ngram",
+    group="llm",
+    tier="B",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+           AS bigram
+  FROM toks WHERE len(t) >= 2
+), counts AS (
+  SELECT bigram, count(*) AS n FROM grams GROUP BY bigram
+)
+SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
+FROM counts
+ORDER BY rank
+LIMIT 30
+""",
+)
+def llm_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams via index-zip of the token array with its tail;
+    global top-30 bigram frequencies."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + F.lit(1))
+                ),
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).orderBy("rank").limit(30)
+
+
+@query(
+    "llm_textstats",
+    group="llm",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       count(*) FILTER (WHERE n_chars <> length(text)) AS n_inconsistent
+FROM documents
+GROUP BY lang, source
+""",
+)
+def llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics + n_chars consistency
+    audit (language-ID/quality-score building blocks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        F.count_if(F.col("n_chars") != F.length("text")).alias("n_inconsistent"),
+    )
+
+
+@query(
+    "llm_multimodal",
+    group="llm",
+    tier="B",
+    oracle="""
+SELECT d.doc_id, d.lang,
+       64 AS dim,
+       round(CAST(e.embedding[1] AS DOUBLE), 6) + 0 AS first_component,
+       concat('{"doc_id":', d.doc_id, ',"lang":"', d.lang, '"}') AS record_json
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.lang IN ('en', 'de') AND len(e.embedding) = 64
+""",
+)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: join text + vector modalities into a
+    nested struct, filter on nested fields, project nested -> flat
+    with a JSON round-trip.  The same struct layout carries opaque
+    binary columns (image/audio) at scale — see
+    pg_telemetry_spark/operators/multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    rec = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            F.struct(
+                "doc_id",
+                "lang",
+                F.struct(F.lit("fake-64").alias("model"), F.size("embedding").alias("dim")).alias(
+                    "meta"
+                ),
+                as_double("embedding").alias("vec"),
+            ).alias("record")
+        )
+        .filter(
+            (F.col("record.meta.dim") == 64) & F.col("record.lang").isin("en", "de")
+        )
+    )
+    return rec.select(
+        F.col("record.doc_id").alias("doc_id"),
+        F.col("record.lang").alias("lang"),
+        F.col("record.meta.dim").alias("dim"),
+        (F.round(F.element_at("record.vec", 1), 6) + 0.0).alias("first_component"),
+        F.to_json(F.struct(F.col("record.doc_id").alias("doc_id"), F.col("record.lang").alias("lang"))).alias(
+            "record_json"
+        ),
+    )

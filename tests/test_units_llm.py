@@ -1,0 +1,72 @@
+"""Golden and cross-formulation tests for the LLM-pipeline operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pg_telemetry_spark.operators.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    with_shingle_hashes,
+    with_shingles,
+)
+from pg_telemetry_spark.queries.llm import _DUP_OFFSET, _near_dup_corpus
+
+
+def test_near_dup_recovers_injected_pairs(spark, sf_dir):
+    """Every injected (doc, mutated-doc) pair must be found, and every
+    reported pair must clear the Jaccard threshold."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    found = near_duplicates(corpus, threshold=0.5)
+    pairs = {(r.id1, r.id2) for r in found.collect()}
+    injected = {
+        (r.doc_id, r.doc_id + _DUP_OFFSET)
+        for r in corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+        .filter(F.col("doc_id") % 7 == 0)
+        .collect()
+    }
+    missing = injected - pairs
+    assert not missing, f"LSH missed {len(missing)} injected near-dup pairs: {sorted(missing)[:5]}"
+    # sanity: thresholds respected
+    assert found.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_near_dup_deterministic(spark, sf_dir):
+    corpus = _near_dup_corpus(spark, sf_dir)
+    a = sorted((r.id1, r.id2, r.jaccard) for r in near_duplicates(corpus).collect())
+    b = sorted((r.id1, r.id2, r.jaccard) for r in near_duplicates(corpus).collect())
+    assert a == b
+
+
+def test_builtin_shingles_agree_with_pandas_variant(spark, sf_dir):
+    """operators/minhash.with_shingles (JVM) vs udf_map_batches
+    (mapInPandas) must produce identical shingle sets."""
+    from pg_telemetry_spark.queries.udfs import udf_map_batches
+    from pg_telemetry_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    jvm = {
+        (r.doc_id, s)
+        for r in with_shingles(docs).select("doc_id", "shingles").collect()
+        for s in r.shingles
+    }
+    py = {
+        (r.doc_id, r.shingle)
+        for r in udf_map_batches(spark, sf_dir).filter(F.col("doc_id") < 50).collect()
+    }
+    assert jvm == py
+
+
+def test_lsh_candidates_superset_of_exact_dupes(spark, sf_dir):
+    """Exact duplicates (Jaccard 1.0) must always be LSH candidates."""
+    from pg_telemetry_spark.queries.llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sig = minhash_signatures(with_shingle_hashes(corpus))
+    cands = {(r.id1, r.id2) for r in lsh_candidate_pairs(sig).collect()}
+    injected = {
+        (r.doc_id, r.doc_id + _DUP_OFFSET)
+        for r in corpus.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < _DUP_OFFSET)).collect()
+    }
+    assert injected <= cands
