@@ -10,6 +10,8 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     llm,
     relational,
     scalars,
+    sources_sinks,
+    streaming_ops,
     timeseries,
     udfs,
     windows,

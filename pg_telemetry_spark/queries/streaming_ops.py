@@ -1,0 +1,257 @@
+"""Streaming operators — SURVEY.md §2.9 (streaming half) + §2.1 sinks.
+
+Each query drives a real Structured Streaming job through the
+micro-batch harness (file source, AvailableNow triggers against a
+persistent checkpoint — the restart-and-catch-up loop of a production
+collector) and returns the materialized outcome as a batch DataFrame
+for the rows-only check.  The semantics-bearing assertions (late-row
+drops, dedup across batches, state evolution, idempotent re-runs)
+live in tests/test_units_streaming.py.
+
+All tier C by design: streaming outcomes depend on micro-batch
+boundaries, which no single oracle SQL statement models.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.streaming.harness import FileStreamHarness
+from pg_telemetry_spark.tables import load_table
+
+#: Streaming event schema: TimestampType (not ntz) — watermarks track
+#: event time on the UTC session clock.
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_COLS = [f.name for f in STREAM_SCHEMA.fields]
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp_ntz")
+    )
+    return e.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _day_batches(events: DataFrame, days: list[str]) -> list[DataFrame]:
+    out = []
+    for day in days:
+        lo = F.lit(day).cast("timestamp")
+        hi = F.lit(day).cast("timestamp") + F.expr("INTERVAL 1 DAY")
+        out.append(events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))
+    return out
+
+
+@query("src_stream_file", group="streaming", tier="C")
+def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source: three daily batches land and are processed
+    incrementally (checkpointed offsets — each run sees only new
+    files); returns per-batch row counts."""
+    events = _stream_events(spark, sf_dir)
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    rows = []
+    for i, b in enumerate(_day_batches(events, ["2024-01-01", "2024-01-02", "2024-01-03"])):
+        h.add_batch(b)
+        captured = h.run_available(h.stream(), "src", output_mode="append")
+        rows.append((i, sum(len(c) for c in captured)))
+    return spark.createDataFrame(rows, "batch int, n_rows bigint")
+
+
+@query("str_watermark", group="streaming", tier="C")
+def str_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour aggregation: after day-1 and day-2
+    batches advance the watermark, a third batch replaying day-1 rows
+    (now far behind the 10-minute watermark) is dropped; returns the
+    final per-hour counts."""
+    events = _stream_events(spark, sf_dir)
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    batches = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    late_replay = batches[0].limit(50)  # day-1 rows arriving after day-2
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("window.start").alias("bucket"), "n_events")
+        )
+
+    state: dict = {}
+    for b in [*batches, late_replay]:
+        h.add_batch(b)
+        for captured in h.run_available(agg(h.stream()), "wm", output_mode="update"):
+            for r in captured:
+                state[r.bucket] = r.n_events
+    return spark.createDataFrame(
+        sorted(state.items()), "bucket timestamp, n_events bigint"
+    )
+
+
+@query("str_dedup", group="streaming", tier="C")
+def str_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id across micro-batches: batch 2
+    replays half of batch 1; each unique event is emitted exactly
+    once.  Returns per-type counts of the deduped stream."""
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    emitted: list = []
+    for b in [day1, day1.limit(100).unionByName(day2)]:
+        h.add_batch(b)
+        for captured in h.run_available(
+            h.stream().dropDuplicates(["event_id"]), "dedup", output_mode="append"
+        ):
+            emitted.extend(captured)
+    out = spark.createDataFrame(emitted, STREAM_SCHEMA)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.countDistinct("event_id").alias("n_unique")
+    )
+
+
+@query("str_stateful", group="streaming", tier="C")
+def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: per-user running event counter
+    and running value sum maintained in GroupState across micro-
+    batches (applyInPandasWithState).  Returns the final per-user
+    state after two batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    final: dict = {}
+    for b in (day1, day2):
+        h.add_batch(b)
+        transformed = (
+            h.stream()
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+        )
+        for captured in h.run_available(transformed, "stateful", output_mode="update"):
+            for r in captured:
+                final[r.user_id] = (r.n_events, r.sum_value)
+    return spark.createDataFrame(
+        [(u, n, s) for u, (n, s) in sorted(final.items())], out_schema
+    )
+
+
+@query("str_stream_static", group="streaming", tier="C")
+def str_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    cohort dimension (broadcast every micro-batch); returns per-cohort
+    counts."""
+    events = _stream_events(spark, sf_dir)
+    (day1,) = _day_batches(events, ["2024-01-01"])
+    cohorts = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("cohort_"), (F.col("id") % 5).cast("string")).alias("cohort"),
+    )
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    h.add_batch(day1)
+    enriched = h.stream().join(F.broadcast(cohorts), "user_id")
+    captured = h.run_available(enriched, "static", output_mode="append")
+    rows = [r for c in captured for r in c]
+    out = spark.createDataFrame(
+        [(r.cohort, r.event_id) for r in rows], "cohort string, event_id bigint"
+    )
+    return out.groupBy("cohort").agg(F.count("*").alias("n_events"))
+
+
+@query("str_output_modes", group="streaming", tier="C")
+def str_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append vs update vs complete over the same watermarked windowed
+    count: append emits only watermark-finalized windows, update emits
+    changed windows per batch, complete re-emits the full result.
+    Returns (mode, batches, rows_emitted, distinct_windows)."""
+    events = _stream_events(spark, sf_dir)
+    batches = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    rows = []
+    for mode in ("append", "update", "complete"):
+        h = FileStreamHarness(spark, STREAM_SCHEMA)
+        emitted = 0
+        windows: set = set()
+        n_runs = 0
+        for b in batches:
+            h.add_batch(b)
+            agg = (
+                h.stream()
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count("*").alias("n_events"))
+                .select(F.col("window.start").alias("bucket"), "n_events")
+            )
+            for captured in h.run_available(agg, f"mode_{mode}", output_mode=mode):
+                n_runs += 1
+                emitted += len(captured)
+                windows.update(r.bucket for r in captured)
+        rows.append((mode, n_runs, emitted, len(windows)))
+    return spark.createDataFrame(
+        rows, "mode string, batches int, rows_emitted bigint, distinct_windows bigint"
+    )
+
+
+@query("snk_foreachbatch", group="streaming", tier="C")
+def snk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent foreachBatch warehouse sink — the 'DataFrame writes
+    to ClickHouse' seam: each micro-batch overwrites its own
+    batch-keyed output directory, so replaying a batch cannot
+    duplicate rows.  Local tests write Parquet; production swaps the
+    writer body for batch_df.write.format('jdbc'/'clickhouse').
+    Returns per-type counts read back from the sink."""
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    sink_dir = tempfile.mkdtemp(prefix="pgts_sink_")
+
+    def write_warehouse(batch_df: DataFrame, batch_id: int) -> None:
+        # overwrite-by-batchId = exactly-once under replays
+        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    for b in (day1, day2):
+        h.add_batch(b)
+        q = (
+            h.stream()
+            .writeStream.foreachBatch(write_warehouse)
+            .option("checkpointLocation", h.checkpoint("sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.schema(STREAM_SCHEMA).parquet(f"{sink_dir}/batch_id=*")
+    return back.groupBy("event_type").agg(F.count("*").alias("n_events"))

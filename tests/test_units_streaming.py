@@ -1,0 +1,110 @@
+"""Streaming semantics assertions (SURVEY.md §5): late-row drops,
+cross-batch dedup, state evolution, idempotent sink replays."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from pg_telemetry_spark.queries.streaming_ops import (
+    STREAM_SCHEMA,
+    _day_batches,
+    _stream_events,
+)
+from pg_telemetry_spark.streaming.harness import FileStreamHarness
+
+
+def _mk_events(spark, rows):
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, v)
+        for i, m, u, t, v in rows
+    ]
+    return spark.createDataFrame(data, STREAM_SCHEMA)
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row older than watermark - delay must not update its window."""
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("bucket"), "n")
+        )
+
+    # batch 1: two rows in hour 0, watermark -> 12:00-ish
+    h.add_batch(_mk_events(spark, [(1, 0, 1, "click", 1.0), (2, 50, 1, "click", 1.0)]))
+    h.run_available(agg(h.stream()), "late", output_mode="update")
+    # batch 2: advance event time to hour 12 => watermark ~ 11:50
+    h.add_batch(_mk_events(spark, [(3, 720, 1, "click", 1.0)]))
+    h.run_available(agg(h.stream()), "late", output_mode="update")
+    # batch 3: a late hour-0 row, far behind the watermark -> dropped
+    h.add_batch(_mk_events(spark, [(4, 30, 1, "click", 1.0)]))
+    captured = h.run_available(agg(h.stream()), "late", output_mode="update")
+    hour0 = dt.datetime(2024, 1, 1, 0, 0)
+    updates = [r for c in captured for r in c if r.bucket == hour0]
+    assert updates == [], f"late row updated a closed window: {updates}"
+
+
+def test_streaming_dedup_emits_each_id_once(spark, sf_dir):
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    emitted = []
+    for b in [day1, day1.limit(100).unionByName(day2)]:
+        h.add_batch(b)
+        for captured in h.run_available(
+            h.stream().dropDuplicates(["event_id"]), "d", output_mode="append"
+        ):
+            emitted.extend(captured)
+    ids = [r.event_id for r in emitted]
+    assert len(ids) == len(set(ids)), "dedup emitted an event_id twice"
+    assert len(ids) == day1.unionByName(day2).select("event_id").distinct().count()
+
+
+def test_stateful_counts_match_batch_groupby(spark, sf_dir):
+    """Final GroupState per user == plain batch groupBy over all batches."""
+    from pg_telemetry_spark.queries.streaming_ops import str_stateful
+
+    final = {r.user_id: r.n_events for r in str_stateful(spark, sf_dir).collect()}
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    expected = {
+        r.user_id: r.n
+        for r in day1.unionByName(day2)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expected
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, sf_dir):
+    """Re-running an already-committed batch (same checkpoint) must not
+    duplicate sink rows — the exactly-once contract of the
+    batchId-keyed writer."""
+    import tempfile
+
+    events = _stream_events(spark, sf_dir)
+    (day1,) = _day_batches(events, ["2024-01-01"])
+    sink = tempfile.mkdtemp(prefix="pgts_idem_")
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    h.add_batch(day1)
+
+    def writer(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+
+    for _ in range(2):  # second run: no new files, replays nothing new
+        q = (
+            h.stream()
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", h.checkpoint("idem"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.schema(STREAM_SCHEMA).parquet(f"{sink}/batch_id=*")
+    assert back.count() == day1.count()
