@@ -1,0 +1,90 @@
+"""IVF-style approximate nearest neighbor over embedding columns.
+
+Brute force (operators/similarity.py) is exact but scans the whole
+corpus per probe.  The scale path is inverted-file (IVF) bucketing:
+
+- **index**: pick deterministic coarse centroids (every ``stride``-th
+  vector — at scale, k-means centroids trained on a sample), assign
+  every corpus vector to its nearest centroid's cell via a broadcast
+  of the (small) centroid set.  The corpus becomes (cell_id, vector)
+  — an equi-partitionable layout.
+- **search**: for each probe, rank cells by centroid similarity, keep
+  the top ``nprobe``; join probes to corpus rows on cell_id (an
+  equi-join on the blocking key — never a crossJoin) and take top-k
+  within the probed cells.
+
+Accuracy depends on data clustering: on the fixtures' uniform random
+vectors recall is modest by construction (no cluster structure to
+exploit); on real embedding corpora (which cluster strongly) IVF with
+nprobe ≈ 10% of cells typically recovers >0.9 recall.  The unit test
+asserts the structural contract (neighbors only from probed cells)
+plus a recall floor against exact brute force.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from pg_telemetry_spark.operators.similarity import as_double, dot
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (centroids, assigned): centroids = (cell_id, cv);
+    assigned = corpus + cell_id of the nearest centroid."""
+    centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+        (F.col(id_col) / stride).cast("long").alias("cell_id"),
+        as_double(vec_col).alias("cv"),
+    )
+    scored = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("csim", dot("v", "cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell_id", "v")
+    )
+    return centroids.select("cell_id", "cv"), assigned
+
+
+def ivf_topk(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the ``nprobe`` best cells per
+    probe.  (probe_id, neighbor_id, sim) with deterministic ordering."""
+    p = probes.select(F.col(probe_id_col), as_double(vec_col).alias("pv"))
+    cell_rank = Window.partitionBy(probe_id_col).orderBy(
+        F.col("csim").desc(), F.col("cell_id")
+    )
+    probe_cells = (
+        p.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", dot("pv", "cv"))
+        .withColumn("crn", F.row_number().over(cell_rank))
+        .filter(F.col("crn") <= nprobe)
+        .select(probe_id_col, "pv", "cell_id")
+    )
+    scored = (
+        probe_cells.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("pv", "v"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -5,9 +5,11 @@ Each module covers one group of SURVEY.md §2's operator inventory.
 
 from pg_telemetry_spark.queries import (  # noqa: F401
     aggs,
+    asof_misc,
     flagship,
     joins,
     llm,
+    llm_ext,
     relational,
     scalars,
     sources_sinks,

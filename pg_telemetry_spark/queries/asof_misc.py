@@ -1,0 +1,80 @@
+"""As-of join + physical-layout operators (SURVEY.md §2.3 join_asof,
+§2.6 sort_partitions)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg_telemetry_spark.operators.asof import asof_join
+from pg_telemetry_spark.queries.relational import EVENTS_V
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+
+@query(
+    "join_asof",
+    group="joins",
+    tier="B",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM {EVENTS_V} e WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM {EVENTS_V} e WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       round(c.value, 6) AS asof_value,
+       c.ts AS asof_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest click
+    value at-or-before it (window-union pattern, oracle: native DuckDB
+    ASOF JOIN)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 6).alias("asof_value"),
+        F.col("asof_click_ts").alias("asof_ts"),
+    )
+
+
+@query("sort_partitions", group="layout", tier="C")
+def sort_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions write-layout primitive, made observable:
+    after repartition(user_id) + sortWithinPartitions(user_id, ts),
+    every partition must verify as sorted (checked partition-locally
+    via mapInPandas — no data movement)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    laid_out = e.repartition(8, "user_id").sortWithinPartitions("user_id", "ts")
+
+    def check(batches):
+        pid_rows = 0
+        ok = True
+        prev = None
+        for pdf in batches:
+            for u, t in zip(pdf["user_id"], pdf["ts"]):
+                if prev is not None and (u, t) < prev:
+                    ok = False
+                prev = (u, t)
+            pid_rows += len(pdf)
+        yield pd.DataFrame({"n_rows": [pid_rows], "is_sorted": [ok]})
+
+    per_part = laid_out.mapInPandas(check, "n_rows bigint, is_sorted boolean")
+    return per_part.groupBy("is_sorted").agg(
+        F.count("*").alias("n_partitions"), F.sum("n_rows").alias("n_rows")
+    )

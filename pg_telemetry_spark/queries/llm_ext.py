@@ -1,0 +1,290 @@
+"""Extended LLM-pipeline operators: text analysis (language-ID,
+quality scoring, token counting, fingerprinting), SimHash near-dup,
+IVF approximate nearest neighbor, and multimodal binary plumbing.
+
+These go beyond the SURVEY §2.10 core per the driver's north star;
+the text-analysis four are fully oracle-checked (tier A/B), the
+index-structure ops are tier C with structural/recall unit tests.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg_telemetry_spark.operators.ann import build_ivf_index, ivf_topk
+from pg_telemetry_spark.operators.multimodal import (
+    decode_features,
+    sample_frames,
+    with_fake_media,
+)
+from pg_telemetry_spark.operators.simhash import hamming, simhash, simhash_chunk_candidates
+from pg_telemetry_spark.queries.llm import _DUP_OFFSET, _near_dup_corpus
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+
+@query(
+    "llm_langid",
+    group="llm_ext",
+    oracle="""
+WITH bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(range(1, length(text)),
+                                             i -> substring(text, i, 2)))) AS bg
+  FROM documents
+), profile AS (
+  SELECT lang, bg, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg ASC) AS rn
+  FROM bigrams GROUP BY lang, bg
+), top_profile AS (
+  SELECT lang AS profile_lang, bg FROM profile WHERE rn <= 20
+), scores AS (
+  SELECT b.doc_id, p.profile_lang, count(*) AS overlap
+  FROM (SELECT DISTINCT doc_id, bg FROM bigrams) b
+  JOIN top_profile p ON b.bg = p.bg
+  GROUP BY b.doc_id, p.profile_lang
+)
+SELECT doc_id, profile_lang AS predicted_lang, overlap
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY overlap DESC, profile_lang ASC) = 1
+""",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram-profile language ID: build a top-20 bigram profile
+    per language from the corpus, score each doc by profile overlap,
+    predict argmax (tie -> alphabetical).  The fixture text is
+    synthetic so accuracy is not the point — the distributed
+    train-profile/score/argmax shape is."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 1),
+                    lambda i: F.substring(F.col("text"), i, 2),
+                )
+            )
+        ).alias("bg"),
+    )
+    prof_w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg").asc())
+    top_profile = (
+        bigrams.groupBy("lang", "bg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(prof_w))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "bg")
+    )
+    scores = (
+        bigrams.select("doc_id", "bg")
+        .distinct()
+        .join(F.broadcast(top_profile), "bg")
+        .groupBy("doc_id", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("profile_lang").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("profile_lang").alias("predicted_lang"), "overlap")
+    )
+
+
+@query(
+    "llm_quality",
+    group="llm_ext",
+    oracle="""
+WITH stopwords AS (
+  SELECT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT 10
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok_stats AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         round(CAST(any_value(d.n_chars) - count(*) + 1 AS DOUBLE) / count(*), 6)
+           AS avg_word_len,
+         round(CAST(count(*) FILTER (WHERE t.term IN (SELECT term FROM stopwords))
+                    AS DOUBLE) / count(*), 6) AS stopword_ratio
+  FROM tok t JOIN documents d USING (doc_id)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, avg_word_len, stopword_ratio,
+       round(1.0 / (1.0 + exp(-(CAST(n_tokens AS DOUBLE) / 50.0
+                                + stopword_ratio * 2.0 - 2.0))), 6) AS quality_score
+FROM tok_stats
+""",
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token count, mean word length,
+    stopword ratio (stopwords = corpus top-10 terms), combined into a
+    logistic quality score — the standard pretraining-corpus filter
+    features, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stopwords = [
+        r.term
+        for r in d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(10)
+        .collect()
+    ]
+    n_tokens = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(stopwords))).cast("double") / n_tokens, 6
+    )
+    avg_word_len = F.round(
+        (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+    )
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(-(n_tokens.cast("double") / 50.0 + stop_ratio * 2.0 - 2.0))
+        ),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "llm_token_count",
+    group="llm_ext",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | other symbols) — the cheap token-budget
+    estimators a corpus pipeline runs before the real tokenizer."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "re_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    group="llm_ext",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(t, w -> ascii(substring(w, 1, 1)) * 31 + length(w))),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint,
+       CASE WHEN len(t) >= 5 THEN
+         list_min(list_transform(range(1, len(t) - 3),
+           i -> (((((ascii(substring(t[i], 1, 1)) * 31 + length(t[i])) * 131
+                  + ascii(substring(t[i+1], 1, 1)) * 31 + length(t[i+1])) * 131
+                  + ascii(substring(t[i+2], 1, 1)) * 31 + length(t[i+2])) * 131
+                  + ascii(substring(t[i+3], 1, 1)) * 31 + length(t[i+3])) * 131
+                  + ascii(substring(t[i+4], 1, 1)) * 31 + length(t[i+4])) % 1000000007))
+       ELSE NULL END AS min_window_hash
+FROM toks
+""",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint + winnowing-style
+    minimum window hash over word 5-grams (cross-engine-identical
+    integer arithmetic — no engine-specific hash functions)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def whash(w):
+        return F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w)
+
+    fingerprint = F.aggregate(
+        F.transform(toks, whash).cast("array<bigint>"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 131 + x) % 1_000_000_007,
+    )
+
+    def window_hash(t, i):
+        acc = None
+        for off in range(5):
+            # bigint from the first term: the un-modded polynomial
+            # reaches ~1.2e12 (int32 overflows under ANSI mode)
+            term = whash(F.element_at(t, i + F.lit(off))).cast("bigint")
+            acc = term if acc is None else (acc * 131 + term)
+        return acc % 1_000_000_007
+
+    min_window = F.when(
+        F.size(toks) >= 5,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: window_hash(F.split("text", " "), i).cast("bigint"),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        fingerprint.alias("fingerprint"),
+        min_window.alias("min_window_hash"),
+    )
+
+
+@query("llm_simhash", group="llm_ext", tier="C")
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection on the injected-near-dup corpus:
+    chunk-indexed candidate pairs with Hamming distance ≤ 6.  The unit
+    test asserts injected near-copies land within the ball and random
+    pairs stay outside."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    fp = simhash(corpus)
+    return simhash_chunk_candidates(fp).filter(F.col("hamming") <= 6)
+
+
+@query("llm_ann_ivf", group="llm_ext", tier="C")
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 neighbors for 10 probes (nprobe=4 of ~16
+    cells — searches ~25% of the corpus instead of 100%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = build_ivf_index(emb, stride=32)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_topk(centroids, assigned, probes, k=5, nprobe=4)
+
+
+@query("llm_multimodal_binary", group="llm_ext", tier="C")
+def llm_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal plumbing end-to-end: binary payload +
+    typed metadata struct -> mapInPandas decode/feature stub -> frame
+    sampling (1->N) -> per-doc feature summary.  The decode is a
+    clearly-marked deterministic fake (no codec libs in container);
+    schema, partitioning, and Arrow batch shapes are the real thing."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = with_fake_media(d)
+    feats = decode_features(media)
+    frames = sample_frames(media).groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled_frames"),
+        F.sum("frame_len").alias("sampled_bytes"),
+    )
+    return feats.join(frames, "doc_id").select(
+        "doc_id", "byte_len", "checksum", "mean_byte", "decoder",
+        "n_sampled_frames", "sampled_bytes",
+    )
