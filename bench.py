@@ -31,11 +31,18 @@ HEADLINE = [
     "flagship_hourly_top20",
     "join_multiway",
     "agg_group_hash",
+    "agg_percentile",
     "win_lag_delta",
     "ts_session",
+    "ts_gapfill",
+    "join_asof",
+    "join_theta_range",
     "llm_cosine_topk",
+    "llm_sim_join",
     "llm_dedup_near",
+    "llm_simhash",
     "llm_tfidf",
+    "llm_langid",
 ]
 
 

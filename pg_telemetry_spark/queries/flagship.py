@@ -18,7 +18,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_telemetry_spark.registry import query
-from pg_telemetry_spark.tables import load_table
 
 
 @query(
@@ -41,12 +40,11 @@ LIMIT 20
 )
 def flagship_hourly_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-type rollup with exact p95, top-20 busiest buckets."""
-    events = load_table(spark, sf_dir, "events")
+    from pg_telemetry_spark.tables import load_events_sliced
+
+    events = load_events_sliced(spark, sf_dir, "2024-01-01", "2024-02-01")
     return (
-        events.filter(
-            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit("2024-02-01").cast("timestamp_ntz"))
-        )
+        events
         .groupBy(
             F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket"),
             F.col("event_type"),

@@ -170,20 +170,14 @@ def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity self-join: all pairs with cosine ≥ 0.35 (the actual
     tail of the fixture distribution — max pairwise sim is ~0.44).
 
-    Brute force here is the oracle-checkable baseline; the scale path
-    for corpus×corpus is LSH/IVF blocking (see operators/minhash.py),
-    which replaces the crossJoin with an equi-join on a bucket key."""
+    Computed as Arrow-batched numpy block matmul (BLAS) — dense
+    all-pairs similarity is linear algebra, not a per-element lambda
+    crossJoin.  The scale path beyond broadcastable corpora is LSH/IVF
+    blocking (operators/minhash.py, operators/ann.py)."""
+    from pg_telemetry_spark.operators.similarity import sim_join_blockwise
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id1"), as_double("embedding").alias("v1"))
-    b = emb.select(F.col("vec_id").alias("id2"), as_double("embedding").alias("v2"))
-    sim = F.round(dot("v1", "v2"), 6)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.35)
-        .select("id1", "id2", "sim")
-    )
+    return sim_join_blockwise(emb, threshold=0.35)
 
 
 @query(

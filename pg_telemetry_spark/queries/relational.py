@@ -115,12 +115,14 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
 """,
 )
 def filt_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-slice of events — the tsdb hot path (prunes at the scan)."""
-    e = load_table(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
-        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp_ntz"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    """Time-slice of events — the tsdb hot path.  Uses the sliced
+    loader so the bounds push down to the Parquet scan as raw
+    nanosecond-long comparisons (row-group min/max pruning); a filter
+    on the converted timestamp would never prune."""
+    from pg_telemetry_spark.tables import load_events_sliced
+
+    e = load_events_sliced(spark, sf_dir, "2024-01-10", "2024-01-12")
+    return e.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @query(

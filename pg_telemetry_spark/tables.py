@@ -146,6 +146,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_sliced(
+    spark: SparkSession, sf_dir: str, lo: str | None = None, hi: str | None = None
+) -> DataFrame:
+    """Events time-slice with REAL predicate pushdown.
+
+    A filter on the converted timestamp (``timestamp_micros(ts div
+    1000) >= X``) is an expression over the raw column, so Parquet
+    row-group/page pruning never sees it — verified: only
+    ``IsNotNull(ts)`` reaches the scan.  This helper rewrites the
+    bounds into nanosecond-long space and applies them to the RAW
+    ``ts`` column before conversion, so they push down as plain long
+    comparisons and min/max row-group statistics prune the scan — the
+    difference between reading one hour and scanning everything at
+    100 TB.  (``lo``/``hi`` are 'YYYY-MM-DD[ HH:MM:SS]' UTC strings,
+    half-open interval.)
+    """
+    import datetime as dt
+
+    prepare_session(spark)
+    df = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
+
+    def nanos(s: str) -> int:
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+        epoch = dt.datetime.strptime(s, fmt).replace(tzinfo=dt.timezone.utc).timestamp()
+        return int(epoch) * 1_000_000_000
+
+    if lo is not None:
+        df = df.filter(F.col("ts") >= nanos(lo))
+    if hi is not None:
+        df = df.filter(F.col("ts") < nanos(hi))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables as a dict name -> DataFrame."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

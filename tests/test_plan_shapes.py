@@ -1,0 +1,106 @@
+"""Physical-plan shape tests (SURVEY.md §4): the properties that decide
+whether a query that works at sf0.1 still works at 100 TB.
+
+Each assertion pins a plan feature: filters reaching the Parquet scan,
+column pruning, broadcast joins where a dim is small, top-k compiling
+to TakeOrderedAndProject, partition pruning on the warehouse layout,
+and — critically — the ABSENCE of BroadcastNestedLoopJoin in the
+non-equi time joins (the banded rewrites exist precisely to avoid it).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from pg_telemetry_spark.registry import all_queries
+from pg_telemetry_spark.tables import load_table
+from pg_telemetry_spark.warehouse.layout import write_events_warehouse
+
+_Q = all_queries()
+
+
+def _formatted(df, execute: bool = False) -> str:
+    """Capture explain('formatted'); with execute=True, run the query
+    first so AQE finalizes the adaptive plan (codegen markers and
+    runtime join selections only appear in the final plan)."""
+    import contextlib
+    import io
+
+    if execute:
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+_plan = _formatted
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = _Q["filt_ts_range"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    # the ts bounds must actually reach the scan, not sit in a Filter only
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("ts" in l and ("GreaterThanOrEqual" in l or "LessThan" in l) for l in pushed), pushed
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "l_orderkey" in rs[0] and "l_quantity" in rs[0]
+    assert "l_extendedprice" not in rs[0], f"scan reads unprojected columns: {rs[0]}"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("join_broadcast", "join_multiway"):
+        plan = _plan(_Q[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(_Q["topk_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-k compiled to a full sort"
+
+
+def test_no_nested_loop_in_banded_time_joins(spark, sf_dir):
+    for name in ("join_theta_range", "join_interval", "join_asof"):
+        plan = _plan(_Q[name].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: planner fell back to nested-loop — banded rewrite broken"
+        )
+        assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    # '*' prefix marks operators inside a WholeStageCodegen span
+    plan = _formatted(_Q["agg_group_hash"].fn(spark, sf_dir), execute=True)
+    assert "* HashAggregate" in plan, "aggregate not inside whole-stage codegen"
+
+
+def test_partition_pruning_on_warehouse_layout(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="pgts_prune_")
+    events = load_table(spark, sf_dir, "events")
+    write_events_warehouse(events, f"{tmp}/events")
+    back = spark.read.parquet(f"{tmp}/events")
+    sliced = back.filter(F.col("event_date") == "2024-01-05")
+    plan = _formatted(sliced)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_date" in pf[0], f"no partition filter at scan: {plan[:500]}"
+    # pruned scan must touch exactly one of 30 day-partitions
+    assert sliced.select(F.countDistinct("event_date")).head()[0] == 1
+
+
+def test_exchange_reuse_no_double_scan_of_fact(spark, sf_dir):
+    """The flagship query scans events exactly once (count distinct
+    scan node ids — formatted output repeats each node in tree +
+    detail sections)."""
+    import re
+
+    plan = _formatted(_Q["flagship_hourly_top20"].fn(spark, sf_dir))
+    node_ids = set(re.findall(r"^\((\d+)\) Scan parquet", plan, re.MULTILINE))
+    assert len(node_ids) == 1, f"fact table scanned {len(node_ids)} times"
