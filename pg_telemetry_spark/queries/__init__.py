@@ -17,4 +17,5 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     timeseries,
     udfs,
     windows,
+    workload,
 )
