@@ -125,8 +125,14 @@ def near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: (id1, id2, jaccard) with exact-verified
     shingle Jaccard ≥ threshold over LSH candidates."""
-    sh = with_shingle_hashes(docs, shingle, text_col)
-    sig = minhash_signatures(sh, id_col, num_perm)
+    # The shingle table feeds three consumers (signatures + both sides
+    # of the verify join) and the signature table two (banding + the
+    # estimate prefilter) — persist both so each is computed once.  At
+    # warehouse scale these become materialized tables (signatures are
+    # tiny: num_perm longs per doc); in-process, MEMORY_AND_DISK with
+    # LRU eviction is the same decision.
+    sh = with_shingle_hashes(docs, shingle, text_col).persist()
+    sig = minhash_signatures(sh, id_col, num_perm).persist()
     cands = lsh_candidate_pairs(sig, id_col, num_perm, bands)
 
     # Cheap prefilter: the minhash signature itself estimates Jaccard
