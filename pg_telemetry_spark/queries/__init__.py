@@ -13,6 +13,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     relational,
     scalars,
     sources_sinks,
+    sql_surface,
     streaming_ops,
     timeseries,
     udfs,
