@@ -10,6 +10,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     joins,
     llm,
     llm_ext,
+    nulls,
     relational,
     scalars,
     sources_sinks,

@@ -132,7 +132,14 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: per-user running event counter
     and running value sum maintained in GroupState across micro-
     batches (applyInPandasWithState).  Returns the final per-user
-    state after two batches."""
+    state after two batches.
+
+    Spark 4's successor API (transformWithStateInPandas +
+    StatefulProcessor) was probed and is unusable in this container:
+    its state-server protocol requires google.protobuf, whose
+    `descriptor` module is broken here (no package installs allowed).
+    The GroupState formulation is semantically equivalent for this
+    operator and is what the cross-check test pins."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
