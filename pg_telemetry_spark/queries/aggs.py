@@ -365,6 +365,70 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot",
+    group="aggs",
+    oracle=f"""
+WITH wide AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM {EVENTS_V} e
+  GROUP BY 1
+)
+SELECT day, kind, n FROM wide
+UNPIVOT (n FOR kind IN (click, error, purchase))
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-day type counts back to long form —
+    the inverse of agg_pivot, a pure narrow Expand (no shuffle)."""
+    e = _events(spark, sf_dir)
+    wide = (
+        e.filter(F.col("event_type").isin("click", "error", "purchase"))
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot("day", ["click", "error", "purchase"], "kind", "n")
+
+
+@query(
+    "win_nth_value",
+    group="windows",
+    oracle=f"""
+SELECT user_id, event_id,
+       nth_value(value, 2) OVER w AS second_value,
+       first_value(event_id) OVER w AS first_event
+FROM {EVENTS_V} e
+WHERE ts < TIMESTAMP '2024-01-03'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value in a cumulative frame (null until the frame holds n
+    rows) + first_value anchor."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@query(
     "agg_histogram",
     group="aggs",
     oracle=f"""
