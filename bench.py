@@ -43,6 +43,9 @@ HEADLINE = [
     "llm_simhash",
     "llm_tfidf",
     "llm_langid",
+    "wl_q3_shipping_priority",
+    "wl_q5_local_supplier",
+    "wl_rate_hourly",
 ]
 
 

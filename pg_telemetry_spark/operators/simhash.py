@@ -69,9 +69,11 @@ def simhash_chunk_candidates(
             for i in range(chunks)
         ]
     )
+    # both sides of the self-join read this frame — persist so the
+    # vote-sum aggregate upstream runs once
     exploded = fingerprints.select(
         F.col(id_col), F.col("simhash"), F.posexplode(chunk_cols).alias("chunk_idx", "chunk")
-    )
+    ).persist()
     left = exploded.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "chunk_idx", "chunk"
     )

@@ -288,3 +288,56 @@ def llm_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "byte_len", "checksum", "mean_byte", "decoder",
         "n_sampled_frames", "sampled_bytes",
     )
+
+
+@query(
+    "llm_dedup_embed",
+    group="llm_ext",
+    tier="B",
+    oracle="""
+WITH v AS (
+  SELECT d.doc_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM v a JOIN v b ON a.doc_id < b.doc_id
+  WHERE round(list_dot_product(a.vec, b.vec), 6) >= 0.35
+),
+nb AS (
+  SELECT id1 AS doc_id, id2 AS nb FROM pairs
+  UNION ALL SELECT id2 AS doc_id, id1 AS nb FROM pairs
+  UNION ALL SELECT doc_id, doc_id AS nb FROM v
+)
+SELECT doc_id, min(nb) AS rep_id, count(*) - 1 AS n_neighbors,
+       CAST(min(nb) < doc_id AS INTEGER) AS is_dup
+FROM nb GROUP BY doc_id
+""",
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over documents: pair any two docs
+    whose embedding cosine >= 0.35 (the fixture tail — vectors are
+    random unit norm, max pairwise sim ~0.44), then greedily elect the
+    min-doc_id single-hop neighbor as each doc's representative.
+
+    The pair search is the Arrow/BLAS blockwise matmul
+    (operators/similarity.py); the rep election is one tiny shuffle on
+    doc_id.  Scale path: replace the blockwise all-pairs with LSH/IVF
+    blocking and iterate the min-rep to a fixpoint for full
+    connected components (O(diameter) joins)."""
+    from pg_telemetry_spark.operators.similarity import sim_join_blockwise
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
+    pairs = sim_join_blockwise(joined, threshold=0.35, id_col="doc_id")
+    nb = (
+        pairs.select(F.col("id1").alias("doc_id"), F.col("id2").alias("nb"))
+        .unionByName(pairs.select(F.col("id2").alias("doc_id"), F.col("id1").alias("nb")))
+        .unionByName(joined.select("doc_id", F.col("doc_id").alias("nb")))
+    )
+    return nb.groupBy("doc_id").agg(
+        F.min("nb").alias("rep_id"),
+        (F.count("*") - 1).alias("n_neighbors"),
+        (F.min("nb") < F.col("doc_id")).cast("int").alias("is_dup"),
+    )

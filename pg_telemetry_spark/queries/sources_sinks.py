@@ -98,3 +98,27 @@ def snk_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_date")
     )
+
+
+@query(
+    "src_orc",
+    group="sources",
+    oracle="""
+SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 6) AS sum_acctbal
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip parity: supplier written to ORC (zlib,
+    dictionary-encoded — Spark's second columnar warehouse format),
+    read back with explicit schema, aggregated.  Must be
+    indistinguishable from the Parquet path; predicate/column pushdown
+    works on ORC scans the same way (plan-shape test)."""
+    tmp = tempfile.mkdtemp(prefix="pgts_orc_")
+    supplier = load_table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(f"{tmp}/supplier_orc")
+    s2 = spark.read.schema(SCHEMAS["supplier"]).orc(f"{tmp}/supplier_orc")
+    return s2.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 6).alias("sum_acctbal"),
+    )

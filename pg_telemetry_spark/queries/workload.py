@@ -244,6 +244,129 @@ def wl_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wl_q4_order_priority",
+    group="workload",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def wl_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: fixture lineitem has no commit/receipt
+    dates, so "late" = shipped >60 days after order date): order counts
+    per priority for one quarter where at least one line shipped late.
+    EXISTS -> left-semi join; the orders-side date filter prunes the
+    scan before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "wl_q14_promo_revenue",
+    group="workload",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+""",
+)
+def wl_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month.  The
+    part dim broadcasts (never more than ~millions of rows even at
+    100 TB lineitem), so the filtered lineitem slice never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 6).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "wl_q18_large_orders",
+    group="workload",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 6) AS totalprice,
+       round(sum(l.l_quantity), 6) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+)
+def wl_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds 300.  The HAVING subquery becomes an aggregated semi-side
+    frame joined on the orderkey — the aggregate output is tiny (keys
+    surviving HAVING), so AQE converts that join to broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.big_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 @query("agg_approx_pct", group="workload", tier="C")
 def agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) p50/p95 per event_type —

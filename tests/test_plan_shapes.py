@@ -104,3 +104,21 @@ def test_exchange_reuse_no_double_scan_of_fact(spark, sf_dir):
     plan = _formatted(_Q["flagship_hourly_top20"].fn(spark, sf_dir))
     node_ids = set(re.findall(r"^\((\d+)\) Scan parquet", plan, re.MULTILINE))
     assert len(node_ids) == 1, f"fact table scanned {len(node_ids)} times"
+
+
+def test_orc_scan_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC scans get the same pushdown/pruning treatment as Parquet."""
+    from pg_telemetry_spark.tables import SCHEMAS, load_table
+
+    path = str(tmp_path / "supplier_orc")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    df = (
+        spark.read.schema(SCHEMAS["supplier"]).orc(path)
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey", "s_acctbal")
+    )
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("s_nationkey" in l for l in pushed), pushed
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "s_name" not in rs[0], rs

@@ -87,3 +87,28 @@ def test_multimodal_plumbing_deterministic_and_shaped(spark, sf_dir):
         for r in media.select("doc_id", "media_meta").collect()
     }
     assert got == exp
+
+
+def test_centroid_distances_match_numpy(spark, sf_dir):
+    """Distributed explode-avg-rejoin centroid distances == a local
+    numpy computation (independent formulation cross-check)."""
+    import numpy as np
+
+    from pg_telemetry_spark.queries.llm import llm_centroid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_label: dict = {}
+    vecs = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype="float64")
+        vecs[r.vec_id] = (r.label, v)
+        by_label.setdefault(r.label, []).append(v)
+    centroids = {lab: np.mean(np.stack(vs), axis=0) for lab, vs in by_label.items()}
+    expected = {
+        vid: round(float(np.sqrt(((v - centroids[lab]) ** 2).sum())), 6)
+        for vid, (lab, v) in vecs.items()
+    }
+    got = {r.vec_id: r.dist_to_centroid for r in llm_centroid(spark, sf_dir).collect()}
+    mismatches = {k for k in expected if abs(expected[k] - got[k]) > 1e-6}
+    assert not mismatches, f"{len(mismatches)} distance mismatches"
