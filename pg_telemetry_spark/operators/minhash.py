@@ -167,3 +167,92 @@ def near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def lsh_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle: int = DEFAULT_SHINGLE,
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable LSH index for a corpus: ``(shingles, buckets)``.
+
+    ``shingles`` = (id, shingle_hashes) — the verify side;
+    ``buckets``  = (id, band, bucket)   — the probe side.
+
+    At warehouse scale both are tables partitioned/bucketed on their
+    join keys (bucket for probes, id for verify), written once per
+    ingest batch; they are exactly the state an incremental dedup
+    needs, so a 100 TB corpus is indexed once and each daily delta
+    only probes, never re-scans history.
+    """
+    sh = with_shingle_hashes(docs, shingle, text_col).select(id_col, "shingle_hashes")
+    sig = minhash_signatures(sh, id_col, num_perm)
+    rows = num_perm // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + i}") for i in range(rows)], F.lit(b))
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    return sh, buckets
+
+
+def incremental_near_duplicates(
+    index_shingles: DataFrame,
+    index_buckets: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle: int = DEFAULT_SHINGLE,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup a delta against an existing corpus index.
+
+    Returns ``(pairs, shingles_delta, buckets_delta)``: every verified
+    near-dup pair that involves at least one new doc (new-vs-old and
+    new-vs-new), plus the index rows for the new docs so the caller
+    can append them (union / INSERT INTO) for the next delta.
+
+    Only the delta is shingled and hashed; history is touched solely
+    through two equi-joins — bucket-probe (on the LSH bucket key) and
+    Jaccard-verify (on doc id) — so per-batch cost is O(delta +
+    collisions), independent of corpus size.  That is the property
+    that keeps continuous ingest dedup viable at 100 TB: the heavy
+    O(corpus) work happened once, at index build.
+    """
+    sh_new, bk_new = lsh_index(new_docs, id_col, text_col, num_perm, bands, shingle)
+    sh_new = sh_new.persist()
+    bk_new = bk_new.persist()
+
+    all_buckets = index_buckets.unionByName(bk_new)
+    probe = bk_new.select(F.col(id_col).alias("id_n"), "band", "bucket")
+    other = all_buckets.select(F.col(id_col).alias("id_o"), "band", "bucket")
+    cands = (
+        probe.join(other, ["band", "bucket"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id1"),
+            F.greatest("id_n", "id_o").alias("id2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+
+    all_shingles = index_shingles.unionByName(sh_new)
+    s1 = all_shingles.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
+    s2 = all_shingles.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    pairs = (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return pairs, sh_new, bk_new

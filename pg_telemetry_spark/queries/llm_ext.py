@@ -341,3 +341,24 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).alias("n_neighbors"),
         (F.min("nb") < F.col("doc_id")).cast("int").alias("is_dup"),
     )
+
+
+@query("llm_dedup_incr", group="llm_ext", tier="C")
+def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the original documents are the
+    already-indexed corpus (shingle + LSH-bucket tables built once);
+    the injected near-copies arrive as a delta that is shingled,
+    minhashed, and bucket-probed WITHOUT rescanning history.  The unit
+    test proves base-pairs ∪ delta-pairs == full rebuild."""
+    from pg_telemetry_spark.operators.minhash import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+    from pg_telemetry_spark.queries.llm import _DUP_OFFSET, _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+    delta = corpus.filter(F.col("doc_id") >= _DUP_OFFSET)
+    sh_idx, bk_idx = lsh_index(base)
+    pairs, _sh, _bk = incremental_near_duplicates(sh_idx, bk_idx, delta, threshold=0.5)
+    return pairs

@@ -262,3 +262,49 @@ def snk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     back = spark.read.schema(STREAM_SCHEMA).parquet(f"{sink_dir}/batch_id=*")
     return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@query("str_session_window", group="streaming", tier="C")
+def str_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute inactivity gap) —
+    the streaming twin of the batch gaps-and-islands ts_session.
+    Append mode emits a session only once its window is finalized past
+    the watermark, so sessions merge/extend safely across micro-
+    batches; the day-3 batch advances the watermark to flush day-2
+    sessions, and day-3's own (unflushable) sessions are excluded from
+    the result.  The unit test pins these sessions to the batch
+    formulation on the same slice."""
+    events = _stream_events(spark, sf_dir)
+    day1, day2, day3 = _day_batches(
+        events, ["2024-01-01", "2024-01-02", "2024-01-03"]
+    )
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    emitted: list = []
+    for b in (day1, day2, day3):
+        h.add_batch(b)
+        for captured in h.run_available(agg(h.stream()), "sess", output_mode="append"):
+            emitted.extend(captured)
+    out = spark.createDataFrame(
+        emitted,
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, sum_value double",
+    )
+    return out.filter(F.col("session_start") < F.lit("2024-01-03").cast("timestamp"))

@@ -367,6 +367,70 @@ def wl_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wl_q6_revenue_delta",
+    group="workload",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 6) AS promo_revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def wl_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical scan-and-aggregate — every
+    predicate (date band, discount band, quantity cap) pushes to the
+    parquet reader and the plan is a single whole-stage-codegen scan
+    with a partial+final agg, zero joins, zero wide shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+            "promo_revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "wl_q2_min_price",
+    group="workload",
+    oracle="""
+SELECT p.p_partkey, p.p_name, p.p_size, round(p.p_retailprice, 6) AS retailprice
+FROM part p
+WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_size = p.p_size)
+ORDER BY p.p_size ASC, p.p_partkey ASC
+""",
+)
+def wl_q2_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: fixtures carry no partsupp, so the
+    correlated min moves to part itself): parts priced at the minimum
+    retail price of their size class.  The correlated scalar subquery
+    decorrelates into a window min over p_size — one shuffle on the
+    correlation key instead of a per-row subquery."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_size")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            F.round("p_retailprice", 6).alias("retailprice"),
+        )
+        .orderBy(F.col("p_size").asc(), F.col("p_partkey").asc())
+    )
+
+
 @query("agg_approx_pct", group="workload", tier="C")
 def agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) p50/p95 per event_type —

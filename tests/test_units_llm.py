@@ -70,3 +70,42 @@ def test_lsh_candidates_superset_of_exact_dupes(spark, sf_dir):
         for r in corpus.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < _DUP_OFFSET)).collect()
     }
     assert injected <= cands
+
+
+def test_incremental_dedup_equals_full_rebuild(spark, sf_dir):
+    """Index the original docs once, then dedup the injected-copy delta
+    incrementally: base pairs + delta pairs must equal a full rebuild
+    over the whole corpus — the invariant that lets continuous ingest
+    skip re-scanning history."""
+    from pg_telemetry_spark.operators.minhash import (
+        incremental_near_duplicates,
+        lsh_index,
+        near_duplicates,
+    )
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+    delta = corpus.filter(F.col("doc_id") >= _DUP_OFFSET)
+
+    full = {
+        (r.id1, r.id2, r.jaccard)
+        for r in near_duplicates(corpus, threshold=0.5).collect()
+    }
+    base_pairs = {
+        (r.id1, r.id2, r.jaccard)
+        for r in near_duplicates(base, threshold=0.5).collect()
+    }
+    sh_idx, bk_idx = lsh_index(base)
+    inc_pairs, sh_d, bk_d = incremental_near_duplicates(
+        sh_idx, bk_idx, delta, threshold=0.5
+    )
+    inc = {(r.id1, r.id2, r.jaccard) for r in inc_pairs.collect()}
+
+    assert base_pairs | inc == full
+    assert inc, "delta produced no pairs — probe path dead"
+    # every incremental pair touches the delta
+    assert all(i1 >= _DUP_OFFSET or i2 >= _DUP_OFFSET for i1, i2, _ in inc)
+    # returned index delta rows cover exactly the delta docs
+    n_delta = delta.count()
+    assert sh_d.select("doc_id").distinct().count() == n_delta
+    assert bk_d.select("doc_id").distinct().count() == n_delta

@@ -108,3 +108,44 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, sf_dir):
         q.awaitTermination()
     back = spark.read.schema(STREAM_SCHEMA).parquet(f"{sink}/batch_id=*")
     assert back.count() == day1.count()
+
+
+def test_streaming_sessions_match_batch_gaps_and_islands(spark, sf_dir):
+    """Native session_window sessions (finalized via watermark across
+    micro-batches) == the batch gaps-and-islands formulation on the
+    same slice.  session_window's end is last-event + gap, so ends are
+    checked at a fixed 1800 s offset from the batch ends."""
+    from pg_telemetry_spark.queries.streaming_ops import str_session_window
+    from pg_telemetry_spark.queries.timeseries import sessionize
+    from pg_telemetry_spark.tables import load_table
+
+    streamed = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value, r.session_end)
+        for r in str_session_window(spark, sf_dir)
+        .filter(F.col("session_start") < F.lit("2024-01-02").cast("timestamp"))
+        .collect()
+    }
+    batch_events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz")
+    )
+    expected = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value, r.session_end)
+        for r in sessionize(batch_events)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp"),
+            F.col("session_end").cast("timestamp"),
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("session_start") < F.lit("2024-01-02").cast("timestamp"))
+        .collect()
+    }
+    assert set(streamed) == set(expected)
+    import datetime as _dt
+
+    gap = _dt.timedelta(seconds=1800)
+    for key, (n, s, end) in streamed.items():
+        en, es, eend = expected[key]
+        assert (n, round(s, 6)) == (en, round(es, 6)), key
+        assert end == eend + gap, (key, end, eend)
