@@ -362,3 +362,19 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_idx, bk_idx = lsh_index(base)
     pairs, _sh, _bk = incremental_near_duplicates(sh_idx, bk_idx, delta, threshold=0.5)
     return pairs
+
+
+@query("llm_ann_lsh", group="llm_ext", tier="C")
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 neighbors for 10 probes
+    (8-bit cosine signatures, Hamming-1 multiprobe — searches ~9/256
+    of the corpus in expectation).  Complements llm_ann_ivf as the
+    second bucketing family; recall is pinned by a planted-neighbor
+    unit test (the uniform random fixture has no clusters to find)."""
+    from pg_telemetry_spark.operators.ann import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, probes, k=5, nbits=8)

@@ -112,3 +112,43 @@ def test_centroid_distances_match_numpy(spark, sf_dir):
     got = {r.vec_id: r.dist_to_centroid for r in llm_centroid(spark, sf_dir).collect()}
     mismatches = {k for k in expected if abs(expected[k] - got[k]) > 1e-6}
     assert not mismatches, f"{len(mismatches)} distance mismatches"
+
+
+def test_lsh_ann_recovers_planted_neighbors(spark, sf_dir):
+    """Hyperplane-LSH ANN must place a planted near-copy (cos ~0.999)
+    of each probe at rank 1 for >=80% of probes — the recall property
+    the uniform random fixture cannot exercise (no clusters)."""
+    import numpy as np
+
+    from pg_telemetry_spark.operators.ann import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding").collect()
+    planted_rows = []  # deterministic perturbations, no RNG
+    for r in base[:40]:
+        v = np.asarray(r.embedding, dtype="float64")
+        bump = np.array([((r.vec_id * 31 + d) % 7 - 3) / 100.0 for d in range(64)])
+        pv = v + 0.02 * bump
+        pv /= np.linalg.norm(pv)
+        planted_rows.append((int(r.vec_id) + 100000, [float(x) for x in pv]))
+    planted = spark.createDataFrame(planted_rows, "vec_id long, embedding array<float>")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    probes = planted.select(F.col("vec_id").alias("probe_id"), "embedding")
+
+    rows = lsh_ann_topk(corpus, probes, k=5, nbits=8).collect()
+    best: dict = {}
+    for r in rows:
+        cur = best.get(r.probe_id)
+        if cur is None or (r.sim, -r.neighbor_id) > (cur[1], -cur[0]):
+            best[r.probe_id] = (r.neighbor_id, r.sim)
+    hits = sum(
+        1 for pid, (nid, _) in best.items() if nid == pid - 100000
+    )
+    assert hits >= 0.8 * len(planted_rows), f"rank-1 recall {hits}/{len(planted_rows)}"
+
+    # determinism: a second run returns the identical set
+    again = {
+        (r.probe_id, r.neighbor_id, r.sim)
+        for r in lsh_ann_topk(corpus, probes, k=5, nbits=8).collect()
+    }
+    assert again == {(r.probe_id, r.neighbor_id, r.sim) for r in rows}
