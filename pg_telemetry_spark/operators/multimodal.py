@@ -9,6 +9,12 @@ DECODE step is stubbed: ``_try_real_decode`` attempts a real library
 import and otherwise produces a clearly-marked deterministic fake.
 Everything around the stub — schema, struct layout, partitioning,
 UDF signatures, Arrow batch shapes — is real and tested.
+
+Executor-memory note: with multi-MB payloads, the Arrow batch size is
+the knob that bounds peak memory per task — set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so batch_rows ×
+payload_bytes fits comfortably (e.g. 64 rows for ~10 MB images);
+the default 10k rows is tuned for scalar columns, not blobs.
 """
 
 from __future__ import annotations
