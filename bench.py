@@ -46,6 +46,11 @@ HEADLINE = [
     "wl_q3_shipping_priority",
     "wl_q5_local_supplier",
     "wl_rate_hourly",
+    "wl_q6_revenue_delta",
+    "wl_q18_large_orders",
+    "llm_dedup_incr",
+    "llm_dedup_embed",
+    "llm_ann_lsh",
 ]
 
 

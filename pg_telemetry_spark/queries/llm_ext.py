@@ -331,11 +331,17 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
     pairs = sim_join_blockwise(joined, threshold=0.35, id_col="doc_id")
-    nb = (
-        pairs.select(F.col("id1").alias("doc_id"), F.col("id2").alias("nb"))
-        .unionByName(pairs.select(F.col("id2").alias("doc_id"), F.col("id1").alias("nb")))
-        .unionByName(joined.select("doc_id", F.col("doc_id").alias("nb")))
-    )
+    # emit both directions in ONE pass over pairs (a two-branch union
+    # would re-run the matmul stage — caught by the PLANS.md audit)
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("doc_id"), F.col("id2").alias("nb")),
+                F.struct(F.col("id2").alias("doc_id"), F.col("id1").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nb")
+    nb = both.unionByName(joined.select("doc_id", F.col("doc_id").alias("nb")))
     return nb.groupBy("doc_id").agg(
         F.min("nb").alias("rep_id"),
         (F.count("*") - 1).alias("n_neighbors"),
