@@ -51,6 +51,8 @@ HEADLINE = [
     "llm_dedup_incr",
     "llm_dedup_embed",
     "llm_ann_lsh",
+    "llm_dedup_cc",
+    "wl_upsert_scd1",
 ]
 
 

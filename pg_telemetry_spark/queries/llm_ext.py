@@ -384,3 +384,70 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return lsh_ann_topk(emb, probes, k=5, nbits=8)
+
+
+@query(
+    "llm_split_hash",
+    group="llm_ext",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*256
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*16
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),3,1))-1) AS bucket
+  FROM documents
+), tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 3277 THEN 'train'
+              WHEN bucket < 3686 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM tagged GROUP BY split, lang
+""",
+)
+def llm_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing
+    the stable doc_id through md5 hex digits — engine-independent, so
+    the same doc lands in the same split on any system, any run, any
+    cluster size (the property `sample(fraction, seed)` does NOT give
+    you across engines).  A pure narrow map: no shuffle except the
+    final small count aggregate; at 100 TB the split column is
+    computed on write and used as a partition key."""
+    d = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1) * 256
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 2, 1))") - 1) * 16
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 3, 1))") - 1)
+    )
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 3277, "train").when(bucket < 3686, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+@query("llm_dedup_cc", group="llm_ext", tier="C")
+def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: near-dup pairs -> connected components -> one
+    kept representative (the min doc_id) per component.  This is the
+    step that turns pairwise similarity into an actual drop list; the
+    unit test checks the labels against a local union-find."""
+    from pg_telemetry_spark.operators.components import connected_components
+    from pg_telemetry_spark.operators.minhash import near_duplicates
+
+    pairs = near_duplicates(_near_dup_corpus(spark, sf_dir), threshold=0.5)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_kept"),
+    )

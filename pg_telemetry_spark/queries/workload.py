@@ -440,3 +440,69 @@ def agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+@query(
+    "wl_upsert_scd1",
+    group="workload",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         round(o_totalprice * 1.1, 6) AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+         round(o_totalprice, 6), 2 AS version
+  FROM orders WHERE o_orderkey % 97 = 0
+), unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice, 6) AS o_totalprice, 1 AS version
+  FROM orders
+  UNION ALL SELECT * FROM changes
+), latest AS (
+  SELECT * FROM unioned
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM latest GROUP BY o_orderstatus
+""",
+)
+def wl_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot upsert (SCD-1 / last-writer-wins MERGE): a change
+    batch (10% updates + new keys) applied over the base table by
+    versioned row_number — the lakehouse-format-free formulation of
+    MERGE INTO.  One shuffle on the merge key; at 100 TB the base is
+    bucketed on that key so only the (small) change batch moves."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"), F.lit(1).alias("version"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey", "o_custkey", F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 6).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    inserts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey", F.lit("N").alias("o_orderstatus"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    unioned = o.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    latest = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        # round-2, not 6: the sum is ~4e8, so the 6th decimal sits at
+        # double's precision edge where summation order wobbles
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )

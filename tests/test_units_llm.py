@@ -109,3 +109,38 @@ def test_incremental_dedup_equals_full_rebuild(spark, sf_dir):
     n_delta = delta.count()
     assert sh_d.select("doc_id").distinct().count() == n_delta
     assert bk_d.select("doc_id").distinct().count() == n_delta
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Distributed min-label propagation == a local union-find over
+    the same near-dup pairs, and exactly one kept doc per component."""
+    from pg_telemetry_spark.operators.components import connected_components
+    from pg_telemetry_spark.operators.minhash import near_duplicates
+
+    pairs = near_duplicates(_near_dup_corpus(spark, sf_dir), threshold=0.5)
+    edge_rows = [(r.id1, r.id2) for r in pairs.collect()]
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    # canonicalize to min member per component
+    comp_min: dict = {}
+    for x, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[r] for x, r in expected.items()}
+
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == expected
+    kept = [x for x, c in got.items() if x == c]
+    assert len(kept) == len(set(got.values()))
