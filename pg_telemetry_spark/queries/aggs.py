@@ -447,3 +447,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_in_bucket"))
     )
+
+
+@query("agg_hll_rollup", group="aggs", tier="C")
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the telemetry MV primitive: per-day
+    HLL sketches of distinct users (DataSketches binary, stored beside
+    the daily rollup at scale) are UNIONED across days to answer the
+    monthly distinct without touching raw data.  Re-aggregability is
+    what approx_count_distinct's scalar output cannot give you; the
+    unit test bounds the merged estimate against exact and against the
+    single-pass sketch."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_merged"),
+        F.sum("n_events").alias("n_events"),
+    )

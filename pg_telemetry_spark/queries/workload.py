@@ -506,3 +506,42 @@ def wl_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double's precision edge where summation order wobbles
         F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
     )
+
+
+@query(
+    "wl_salted_join",
+    group="workload",
+    oracle=f"""
+WITH dim AS (
+  SELECT DISTINCT event_type, length(event_type) AS type_weight
+  FROM {EVENTS_V} e
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.value * d.type_weight), 6) + 0 AS weighted_sum
+FROM {EVENTS_V} e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join proven exact: events (5 event types — a
+    maximally hot join key) join a per-type dim via salt-and-explode,
+    and the result must equal the plain join (the oracle IS the
+    unsalted formulation).  The salt spreads each hot key across 16
+    partitions; the dim replicates 16× — the trade that beats one
+    straggling reducer when the hot side is 100 TB and AQE's split
+    granularity isn't enough."""
+    from pg_telemetry_spark.operators.skew import salted_join_small
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    joined = salted_join_small(e, dim, key="event_type", unique_col="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.round(F.sum(F.col("value") * F.col("type_weight")), 6) + 0.0).alias(
+            "weighted_sum"
+        ),
+    )

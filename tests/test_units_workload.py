@@ -41,3 +41,32 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     s = {(r.event_id, r.weight) for r in salted.collect()}
     p = {(r.event_id, r.weight) for r in plain.collect()}
     assert s == p
+
+
+def test_hll_rollup_merge_matches_single_pass_and_exact(spark, sf_dir):
+    """Union of per-day HLL sketches == single-pass sketch estimate,
+    and both within 5% of exact distinct — the re-aggregability
+    contract that makes sketch-carrying rollup tables sound."""
+    from pg_telemetry_spark.registry import all_queries
+    from pg_telemetry_spark.tables import load_table
+
+    merged = {
+        r.event_type: r.approx_users_merged
+        for r in all_queries()["agg_hll_rollup"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    single = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == single  # merge of partials == one-pass sketch
+    for t, n in exact.items():
+        assert abs(merged[t] - n) <= max(0.05 * n, 2), (t, merged[t], n)
