@@ -248,3 +248,157 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s") / F.sum("n"), 6).alias("avg_value"),
         )
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    group="timeseries",
+    oracle=f"""
+WITH seg AS (
+  SELECT user_id, event_type, value,
+         epoch(lead(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id)) - epoch(ts) AS dt
+  FROM {EVENTS_V} e
+)
+SELECT user_id, event_type,
+       round(sum(value * dt) / sum(dt), 6) AS tw_avg,
+       round(sum(dt), 6) AS observed_seconds,
+       count(*) AS n_segments
+FROM seg WHERE dt IS NOT NULL
+GROUP BY user_id, event_type
+HAVING round(sum(dt), 6) > 0
+""",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series — the tsdb operator plain avg
+    gets wrong under irregular sampling: each observation is weighted
+    by how long it held (LOCF convention, weight = seconds until the
+    next sample).  One window shuffle on the series key, then a hash
+    agg; the last sample of each series has no holding interval and
+    drops out, matching the closed-open integral."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    seg = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.lead(epoch).over(w) - epoch).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("tw_avg"),
+            F.round(F.sum("dt"), 6).alias("observed_seconds"),
+            F.count("*").alias("n_segments"),
+        )
+        .filter(F.col("observed_seconds") > 0)
+    )
+
+
+@query(
+    "ts_gapfill_interp",
+    group="timeseries",
+    oracle=f"""
+WITH axis AS (
+  SELECT t.bucket, ty.event_type
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00',
+                       INTERVAL '1 hour') AS t(bucket)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+), actual AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         round(sum(value), 6) AS sum_value
+  FROM {EVENTS_V} e
+  GROUP BY 1, 2
+), joined AS (
+  SELECT a.bucket, a.event_type, x.sum_value,
+         epoch(a.bucket) AS ep,
+         last_value(x.sum_value IGNORE NULLS)
+           OVER (PARTITION BY a.event_type ORDER BY a.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN x.sum_value IS NOT NULL THEN epoch(a.bucket) END IGNORE NULLS)
+           OVER (PARTITION BY a.event_type ORDER BY a.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ep,
+         first_value(x.sum_value IGNORE NULLS)
+           OVER (PARTITION BY a.event_type ORDER BY a.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN x.sum_value IS NOT NULL THEN epoch(a.bucket) END IGNORE NULLS)
+           OVER (PARTITION BY a.event_type ORDER BY a.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ep
+  FROM axis a LEFT JOIN actual x
+    ON a.bucket = x.bucket AND a.event_type = x.event_type
+)
+SELECT bucket, event_type,
+       CAST(sum_value IS NOT NULL AS INTEGER) AS has_data,
+       round(CASE
+         WHEN sum_value IS NOT NULL THEN sum_value
+         WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+         ELSE prev_v + (next_v - prev_v) * (ep - prev_ep) / (next_ep - prev_ep)
+       END, 6) + 0 AS interp_value
+FROM joined
+""",
+)
+def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill: empty buckets take the value on
+    the straight line between the nearest observed buckets either
+    side (edges stay NULL — nothing to anchor to).  Same dense-axis
+    left join as ts_gapfill plus one backward- and one forward-
+    looking ignore-nulls window over the series — still a single
+    shuffle on the series key."""
+    e = load_table(spark, sf_dir, "events")
+    axis = (
+        e.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("bucket")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    actual = e.groupBy(
+        F.window("ts", "1 hour").start.cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+    ).agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    j = axis.join(actual, ["bucket", "event_type"], "left")
+    ep = F.unix_micros(F.col("bucket").cast("timestamp")) / F.lit(1_000_000.0)
+    ep_obs = F.when(F.col("sum_value").isNotNull(), ep)
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = j.select(
+        "bucket",
+        "event_type",
+        "sum_value",
+        ep.alias("ep"),
+        F.last("sum_value", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(ep_obs, ignorenulls=True).over(back).alias("prev_ep"),
+        F.first("sum_value", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(ep_obs, ignorenulls=True).over(fwd).alias("next_ep"),
+    )
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("ep") - F.col("prev_ep"))
+            / (F.col("next_ep") - F.col("prev_ep"))
+        )
+    )
+    return j.select(
+        "bucket",
+        "event_type",
+        F.col("sum_value").isNotNull().cast("int").alias("has_data"),
+        (F.round(interp, 6) + 0.0).alias("interp_value"),
+    )
