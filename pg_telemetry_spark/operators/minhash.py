@@ -176,17 +176,20 @@ def lsh_index(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
-) -> tuple[DataFrame, DataFrame]:
-    """Materializable LSH index for a corpus: ``(shingles, buckets)``.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materializable LSH index for a corpus:
+    ``(shingles, signatures, buckets)``.
 
-    ``shingles`` = (id, shingle_hashes) — the verify side;
-    ``buckets``  = (id, band, bucket)   — the probe side.
+    ``shingles``   = (id, shingle_hashes)    — the exact-verify side;
+    ``signatures`` = (id, mh: array<bigint>) — the estimate prefilter;
+    ``buckets``    = (id, band, bucket)      — the probe side.
 
-    At warehouse scale both are tables partitioned/bucketed on their
-    join keys (bucket for probes, id for verify), written once per
-    ingest batch; they are exactly the state an incremental dedup
-    needs, so a 100 TB corpus is indexed once and each daily delta
-    only probes, never re-scans history.
+    At warehouse scale all three are tables partitioned/bucketed on
+    their join keys (bucket for probes, id for the others), written
+    once per ingest batch; they are exactly the state an incremental
+    dedup needs, so a 100 TB corpus is indexed once and each daily
+    delta only probes, never re-scans history.  Signatures cost
+    num_perm longs per doc — negligible beside the shingle sets.
     """
     sh = with_shingle_hashes(docs, shingle, text_col).select(id_col, "shingle_hashes")
     sig = minhash_signatures(sh, id_col, num_perm)
@@ -198,11 +201,15 @@ def lsh_index(
     buckets = sig.select(
         F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
-    return sh, buckets
+    sigs = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{s}") for s in range(num_perm)]).alias("mh")
+    )
+    return sh, sigs, buckets
 
 
 def incremental_near_duplicates(
     index_shingles: DataFrame,
+    index_signatures: DataFrame,
     index_buckets: DataFrame,
     new_docs: DataFrame,
     id_col: str = "doc_id",
@@ -211,23 +218,28 @@ def incremental_near_duplicates(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Dedup a delta against an existing corpus index.
 
-    Returns ``(pairs, shingles_delta, buckets_delta)``: every verified
-    near-dup pair that involves at least one new doc (new-vs-old and
-    new-vs-new), plus the index rows for the new docs so the caller
-    can append them (union / INSERT INTO) for the next delta.
+    Returns ``(pairs, shingles_delta, signatures_delta,
+    buckets_delta)``: every verified near-dup pair that involves at
+    least one new doc (new-vs-old and new-vs-new), plus the index rows
+    for the new docs so the caller can append them (union / INSERT
+    INTO) for the next delta.
 
     Only the delta is shingled and hashed; history is touched solely
-    through two equi-joins — bucket-probe (on the LSH bucket key) and
-    Jaccard-verify (on doc id) — so per-batch cost is O(delta +
-    collisions), independent of corpus size.  That is the property
-    that keeps continuous ingest dedup viable at 100 TB: the heavy
-    O(corpus) work happened once, at index build.
+    through three equi-joins — bucket-probe (on the LSH bucket key),
+    signature prefilter, and Jaccard-verify (on doc id) — so
+    per-batch cost is O(delta + collisions), independent of corpus
+    size.  That is the property that keeps continuous ingest dedup
+    viable at 100 TB: the heavy O(corpus) work happened once, at
+    index build.
     """
-    sh_new, bk_new = lsh_index(new_docs, id_col, text_col, num_perm, bands, shingle)
+    sh_new, sg_new, bk_new = lsh_index(
+        new_docs, id_col, text_col, num_perm, bands, shingle
+    )
     sh_new = sh_new.persist()
+    sg_new = sg_new.persist()
     bk_new = bk_new.persist()
 
     all_buckets = index_buckets.unionByName(bk_new)
@@ -243,16 +255,31 @@ def incremental_near_duplicates(
         .dropDuplicates(["id1", "id2"])
     )
 
+    # signature-estimate prefilter (same margin as near_duplicates):
+    # candidate sets are dominated by low-J noise; comparing num_perm
+    # longs is ~8x cheaper than the exact set ops on shingle arrays
+    est_threshold = max(threshold - 0.15, 0.0)
+    all_sigs = index_signatures.unionByName(sg_new)
+    m1 = all_sigs.select(F.col(id_col).alias("id1"), F.col("mh").alias("mh1"))
+    m2 = all_sigs.select(F.col(id_col).alias("id2"), F.col("mh").alias("mh2"))
+    est = F.size(
+        F.filter(F.zip_with("mh1", "mh2", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(num_perm)
+    prefiltered = (
+        cands.join(m1, "id1").join(m2, "id2").filter(est >= est_threshold)
+        .select("id1", "id2")
+    )
+
     all_shingles = index_shingles.unionByName(sh_new)
     s1 = all_shingles.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
     s2 = all_shingles.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     pairs = (
-        cands.join(s1, "id1")
+        prefiltered.join(s1, "id1")
         .join(s2, "id2")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return pairs, sh_new, bk_new
+    return pairs, sh_new, sg_new, bk_new

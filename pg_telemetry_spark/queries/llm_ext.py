@@ -365,8 +365,10 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
     delta = corpus.filter(F.col("doc_id") >= _DUP_OFFSET)
-    sh_idx, bk_idx = lsh_index(base)
-    pairs, _sh, _bk = incremental_near_duplicates(sh_idx, bk_idx, delta, threshold=0.5)
+    sh_idx, sg_idx, bk_idx = lsh_index(base)
+    pairs, _sh, _sg, _bk = incremental_near_duplicates(
+        sh_idx, sg_idx, bk_idx, delta, threshold=0.5
+    )
     return pairs
 
 
