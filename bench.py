@@ -53,6 +53,8 @@ HEADLINE = [
     "llm_ann_lsh",
     "llm_dedup_cc",
     "wl_upsert_scd1",
+    "ts_time_weighted_avg",
+    "ts_gapfill_interp",
 ]
 
 

@@ -51,6 +51,9 @@ def connected_components(
         neigh = sym.join(labels, sym.dst == labels.id).groupBy("src").agg(
             F.min("comp").alias("nb_min")
         )
+        # localCheckpoint truncates the lineage so the result plan is
+        # one scan of the final labels, not iter-many stacked joins
+        # (on a cluster use checkpoint() against a fault-tolerant dir)
         new_labels = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
@@ -59,7 +62,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
