@@ -295,3 +295,23 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .exceptAll(_half(e, False).select("user_id", "event_type"))
     )
+
+
+@query(
+    "proj_explode_outer",
+    group="relational",
+    oracle="""
+SELECT d.doc_id, t.tok
+FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 7) AS toks
+      FROM documents WHERE doc_id < 200) d
+LEFT JOIN LATERAL (SELECT unnest(d.toks) AS tok) t ON TRUE
+""",
+)
+def proj_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: docs whose filtered token array is
+    empty survive as a single NULL-token row (explode would silently
+    drop them — the classic lost-rows bug in pipelines that explode
+    then re-aggregate)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 7)
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))

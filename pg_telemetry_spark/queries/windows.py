@@ -271,3 +271,37 @@ def win_topn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "win_ignorenulls",
+    group="windows",
+    oracle=f"""
+SELECT user_id, event_id,
+       round(CASE WHEN value >= 10 THEN value END, 6) AS masked,
+       round(lag(CASE WHEN value >= 10 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_valid,
+       round(lead(CASE WHEN value >= 10 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS next_valid
+FROM {EVENTS_V} e
+""",
+)
+def win_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware lag/lead: the previous/next NON-NULL observation per
+    series (sensor dropouts modeled as value<10 -> NULL).  Spark has
+    no lag(IGNORE NULLS); last(ignorenulls) over a preceding frame and
+    first(ignorenulls) over a following frame are the exact
+    equivalents — the oracle pins that equivalence against DuckDB's
+    native IGNORE NULLS lag/lead."""
+    e = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("value") >= 10, F.col("value"))
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = base.rowsBetween(1, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(masked, 6).alias("masked"),
+        F.round(F.last(masked, ignorenulls=True).over(prev), 6).alias("prev_valid"),
+        F.round(F.first(masked, ignorenulls=True).over(nxt), 6).alias("next_valid"),
+    )
