@@ -122,3 +122,37 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         F.round(F.sum("s_acctbal"), 6).alias("sum_acctbal"),
     )
+
+
+@query(
+    "src_kafka_roundtrip",
+    group="sources",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id % 32) AS n_partitions
+FROM (SELECT * FROM events) e
+GROUP BY event_type
+""",
+)
+def src_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka ingest seam, exercised without a broker: fixture events
+    are encoded as Kafka-shaped records (binary JSON value, user_id
+    partition key) and pushed through the real decode transform
+    (from_json -> typed columns) — the exact DataFrame logic the
+    streaming reader feeds.  The aggregate must match the raw events,
+    proving the encode/decode round-trip is lossless; the reader
+    builder itself (sources/kafka_stream.py) awaits a broker + jar."""
+    from pg_telemetry_spark.sources.kafka_stream import (
+        decode_events,
+        fixture_as_kafka_records,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    decoded = decode_events(fixture_as_kafka_records(e))
+    return decoded.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.countDistinct("partition").alias("n_partitions"),
+    )
