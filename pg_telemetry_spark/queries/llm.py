@@ -450,3 +450,48 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_json"
         ),
     )
+
+
+@query(
+    "llm_containment",
+    group="llm",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE doc_id < 80
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2,
+       round(CAST(c AS DOUBLE) / s1.n, 6) AS containment
+FROM common
+JOIN sizes s1 ON s1.doc_id = id1
+WHERE CAST(c AS DOUBLE) / s1.n >= 0.5
+""",
+)
+def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment |A∩B| / |A|: flags doc A when most
+    of its vocabulary appears inside doc B — the quote/boilerplate/
+    subset-duplicate detector symmetric Jaccard misses (a short doc
+    fully embedded in a long one has low Jaccard but containment 1).
+    Ordered pairs, both directions; same blocking/verify scale path as
+    the Jaccard pipeline (LSH on the contained side's shingles)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    )
+    a = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
+    pairs = a.crossJoin(b).filter(F.col("id1") != F.col("id2"))
+    inter = F.size(F.array_intersect("w1", "w2")).cast("double")
+    denom = F.size("w1")
+    return (
+        pairs.withColumn("containment", F.round(inter / denom, 6))
+        .filter(inter / denom >= 0.5)
+        .select("id1", "id2", "containment")
+    )
