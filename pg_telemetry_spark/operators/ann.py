@@ -29,18 +29,99 @@ from pyspark.sql import DataFrame, Window
 from pg_telemetry_spark.operators.similarity import as_double, dot
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    sample_stride: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled Lloyd k-means for IVF coarse centroids:
+    (cell_id, cv) with unit-normalized centroids.
+
+    Scale shape: train on a DETERMINISTIC sample (``id % stride == 0``
+    — reproducible across runs/cluster sizes, unlike
+    ``sample(fraction, seed)`` whose row assignment is
+    partitioning-dependent), with each Lloyd round two shuffles:
+    assign = broadcast-centroid crossJoin + per-id top-1 window;
+    re-estimate = posexplode to (cell, dim, x) + avg + re-pack.  The
+    centroid table never exceeds k rows, so every assignment pass is a
+    broadcast — the corpus never shuffles during training.  Fixed
+    ``iters`` (no convergence collect): IVF needs a decent coarse
+    quantizer, not a converged clustering.
+
+    Centroids are L2-normalized so cosine cell ranking is not biased
+    toward dense cells; empty cells keep their previous centroid (the
+    LEFT side of the re-pack join is the previous centroid table).
+    """
+    sample = corpus.filter(F.col(id_col) % sample_stride == 0).select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).persist()
+    # deterministic init: the k sample vectors with the smallest ids
+    init_w = Window.orderBy(F.col(id_col))
+    cents = (
+        sample.withColumn("rn", F.row_number().over(init_w))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).cast("long").alias("cell_id"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        top1 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id"))
+        assigned = (
+            sample.crossJoin(F.broadcast(cents))
+            .withColumn("csim", dot("v", "cv"))
+            .withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cell_id", "v")
+        )
+        dims = assigned.select("cell_id", F.posexplode("v").alias("i", "x"))
+        means = (
+            dims.groupBy("cell_id", "i")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+                ).alias("new_cv")
+            )
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)  # flat lineage per round
+        )
+    sample.unpersist()
+    return cents.withColumn(
+        "_n", F.sqrt(F.aggregate(F.transform("cv", lambda y: y * y), F.lit(0.0), lambda a, y: a + y))
+    ).select("cell_id", F.transform("cv", lambda x: x / F.col("_n")).alias("cv"))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stride: int = 32,
+    method: str = "stride",
+    k: int = 16,
+    iters: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (centroids, assigned): centroids = (cell_id, cv);
-    assigned = corpus + cell_id of the nearest centroid."""
-    centroids = corpus.filter(F.col(id_col) % stride == 0).select(
-        (F.col(id_col) / stride).cast("long").alias("cell_id"),
-        as_double(vec_col).alias("cv"),
-    )
+    assigned = corpus + cell_id of the nearest centroid.
+
+    ``method='stride'`` takes every ``stride``-th vector as a centroid
+    (zero training cost, fine for uniform data); ``method='kmeans'``
+    trains :func:`kmeans_centroids` on a deterministic sample — the
+    production choice for clustered real-world embeddings."""
+    if method == "kmeans":
+        centroids = kmeans_centroids(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            (F.col(id_col) / stride).cast("long").alias("cell_id"),
+            as_double(vec_col).alias("cv"),
+        )
     scored = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
         .crossJoin(F.broadcast(centroids))

@@ -29,18 +29,45 @@ uniform key (doc_id, bucket).  The candidate self-join costs
 O(collisions), never O(n²).  At 100 TB the bucket key is the natural
 partition key for incremental dedup (new docs only probe their own
 buckets); pathologically hot buckets (boilerplate text shared by
-millions of docs) are handled by AQE skew splitting and can be capped
-with a pre-join bucket-count filter.
+millions of docs) ARE capped with a pre-join bucket-size filter
+(``max_bucket_size``, default 1000) — AQE skew splitting spreads the
+shuffle but not the O(k²) pair count inside a k-member bucket, so the
+cap is what actually bounds the candidate volume.  A doc dropped from
+one over-cap bucket still pairs through its other ``bands-1`` buckets,
+so only pairs whose EVERY collision is boilerplate-hot are lost —
+exactly the pairs a dedup pipeline quarantines for a dedicated
+boilerplate pass rather than pairwise-verifying.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 DEFAULT_SHINGLE = 5
+#: Max members per (band, bucket) before the bucket is dropped from
+#: candidate generation.  1000 bounds any single bucket's pair count
+#: at ~500k while sitting far above anything a non-adversarial corpus
+#: produces (fixture buckets hold <10 docs).
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_hot_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket_size``.
+
+    One window count over the same (band, bucket) key the candidate
+    join shuffles on — the partitioning is computed once and reused.
+    """
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bsize", F.count("*").over(w))
+        .filter(F.col("_bsize") <= max_bucket_size)
+        .drop("_bsize")
+    )
 
 
 def with_shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text") -> DataFrame:
@@ -90,10 +117,13 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate (id1, id2) pairs sharing ≥1 LSH band bucket.
 
     ``signatures`` is the output of :func:`minhash_signatures`.
+    Buckets with more than ``max_bucket_size`` members are dropped
+    before the self-join (see module docstring; ``None`` disables).
     """
     rows = num_perm // bands
     band_cols = [
@@ -104,6 +134,7 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
+    banded = _cap_hot_buckets(banded, max_bucket_size)
     left = banded.select(F.col(id_col).alias("id1"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id2"), "band", "bucket")
     return (
@@ -122,6 +153,7 @@ def near_duplicates(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full near-dup pipeline: (id1, id2, jaccard) with exact-verified
     shingle Jaccard ≥ threshold over LSH candidates."""
@@ -133,7 +165,7 @@ def near_duplicates(
     # LRU eviction is the same decision.
     sh = with_shingle_hashes(docs, shingle, text_col).persist()
     sig = minhash_signatures(sh, id_col, num_perm).persist()
-    cands = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    cands = lsh_candidate_pairs(sig, id_col, num_perm, bands, max_bucket_size)
 
     # Cheap prefilter: the minhash signature itself estimates Jaccard
     # (fraction of agreeing components, unbiased).  Candidate sets are
@@ -218,6 +250,7 @@ def incremental_near_duplicates(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Dedup a delta against an existing corpus index.
 
@@ -242,7 +275,12 @@ def incremental_near_duplicates(
     sg_new = sg_new.persist()
     bk_new = bk_new.persist()
 
-    all_buckets = index_buckets.unionByName(bk_new)
+    # Hot-bucket cap on the indexed side (sized over base+delta): the
+    # equi-join emits nothing for a dropped bucket, so capping one side
+    # bounds the pair count without touching the probe stream.
+    all_buckets = _cap_hot_buckets(
+        index_buckets.unionByName(bk_new), max_bucket_size
+    )
     probe = bk_new.select(F.col(id_col).alias("id_n"), "band", "bucket")
     other = all_buckets.select(F.col(id_col).alias("id_o"), "band", "bucket")
     cands = (

@@ -69,47 +69,80 @@ def sim_join_blockwise(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via Arrow-batched numpy blocks.
+    """All-pairs cosine ≥ threshold via a distributed block-matrix
+    product — no table data ever touches the driver.
 
-    Dense all-pairs similarity is linear algebra: each Arrow batch of
-    left rows multiplies (BLAS sgemm-style) against a broadcast of the
-    right-side matrix — orders of magnitude faster than per-element
-    Catalyst lambda evaluation over exploded pairs (measured 14.6 s ->
-    sub-second at sf0.1).
+    Dense all-pairs similarity is linear algebra, so each block pair
+    multiplies as one BLAS dgemm instead of per-element Catalyst
+    lambda evaluation over exploded pairs (measured 14.6 s ->
+    sub-second at sf0.1).  The distribution is the classic block outer
+    product:
 
-    Scale: the broadcast side must fit in executor memory (a 1M x 64
-    float64 matrix is 512 MB — the practical ceiling).  Beyond that,
-    block the right side too (crossJoin of partition-id grids) or use
-    LSH/IVF blocking (operators/minhash.py, operators/ann.py) so only
-    candidate cells multiply.  ``id1 < id2`` halves the output.
+    1. hash-partition rows into ``num_blocks`` blocks
+       (``pmod(xxhash64(id), B)`` — uniform, deterministic);
+    2. pack each block into ONE row ``(b, rows: array<struct>)`` via
+       ``collect_list`` (map-side combined aggregation);
+    3. join the B-row packed table with itself on ``lb <= rb`` — the
+       upper-triangular B×(B+1)/2 grid, each unordered block pair
+       exactly once;
+    4. ``mapInPandas`` over grid rows: numpy dgemm per cell, emit
+       (id1 < id2, sim) above threshold.
+
+    Scale: executor memory bounds ONE block (n/B vectors), not the
+    corpus — B is the knob (1M × 64 doubles at B=64 is 8 MB/block).
+    Total shuffle is ~B×corpus (each block replicated across its grid
+    row/column): the inherent all-pairs cost, spread evenly by the
+    hash blocking with no driver ceiling anywhere.  Past a few B×10⁶
+    rows, switch to LSH/IVF blocking (operators/minhash.py,
+    operators/ann.py) so only candidate cells multiply at all.
     """
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()  # broadcast side
-    ids = np.array([r[id_col] for r in rows], dtype="int64")
-    mat = np.array([r[vec_col] for r in rows], dtype="float64")
-    sc = corpus.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    packed = (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("b"),
+            F.struct(
+                F.col(id_col).alias("bid"), as_double(vec_col).alias("bvec")
+            ).alias("r"),
+        )
+        .groupBy("b")
+        .agg(F.collect_list("r").alias("rows"))
+    )
+    grid = (
+        packed.select(F.col("b").alias("lb"), F.col("rows").alias("lrows"))
+        .join(
+            # broadcast the B-row right side: the upper-triangular grid
+            # is a deliberate tiny nested-loop over B packed rows,
+            # never a cartesian over raw table data
+            F.broadcast(
+                packed.select(F.col("b").alias("rb"), F.col("rows").alias("rrows"))
+            ),
+            F.col("lb") <= F.col("rb"),
+        )
+    )
+
+    def unpack(rows):
+        ids = np.fromiter((r["bid"] for r in rows), dtype="int64", count=len(rows))
+        mat = np.array([np.asarray(r["bvec"], dtype="float64") for r in rows])
+        return ids, mat
 
     def block(batches):
         for pdf in batches:
-            left_ids = pdf[id_col].to_numpy(dtype="int64")
-            left = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            sims = left @ b_mat.value.T  # (batch, corpus) BLAS block
-            li, ri = np.nonzero(np.round(sims, 6) >= threshold)
-            l_out, r_out = left_ids[li], b_ids.value[ri]
-            keep = l_out < r_out
-            yield pd.DataFrame(
-                {
-                    "id1": l_out[keep],
-                    "id2": r_out[keep],
-                    "sim": np.round(sims[li, ri][keep], 6),
-                }
-            )
+            for _, row in pdf.iterrows():
+                lids, lmat = unpack(row["lrows"])
+                rids, rmat = unpack(row["rrows"])
+                sims = lmat @ rmat.T  # one BLAS block per grid cell
+                li, ri = np.nonzero(np.round(sims, 6) >= threshold)
+                a, b = lids[li], rids[ri]
+                s = np.round(sims[li, ri], 6)
+                if row["lb"] == row["rb"]:
+                    keep = a < b
+                    a, b, s = a[keep], b[keep], s[keep]
+                else:
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                yield pd.DataFrame({"id1": a, "id2": b, "sim": s})
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        block, "id1 bigint, id2 bigint, sim double"
-    )
+    return grid.mapInPandas(block, "id1 bigint, id2 bigint, sim double")

@@ -279,16 +279,21 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     group="aggs",
     oracle=f"""
-SELECT user_id, list_sort(list(event_type)) AS types
+SELECT user_id,
+       array_to_string(list_sort(list(event_type)), ',') AS types
 FROM {EVENTS_V} e
 WHERE ts < TIMESTAMP '2024-01-03'
 GROUP BY user_id
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collect-to-array, sorted for determinism."""
+    """Collect-to-array, sorted for determinism, joined to a single
+    string — a scalar the result canonicalizer can hash/sort (raw
+    array<string> cells are unhashable driver-side)."""
     e = _events(spark, sf_dir).filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
-    return e.groupBy("user_id").agg(F.array_sort(F.collect_list("event_type")).alias("types"))
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("types")
+    )
 
 
 @query(

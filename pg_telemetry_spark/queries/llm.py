@@ -29,6 +29,28 @@ _CORPUS_SQL = f"""
 """
 
 
+#: Session-lifetime cache for intermediates shared across the dedup
+#: family (corpus, verified pair set).  Four registered queries
+#: (llm_dedup_near / llm_dedup_cc / llm_simhash / llm_dedup_incr)
+#: derive from the same near-dup corpus, and two of them need the same
+#: verified pair set — without sharing, one correctness sweep runs the
+#: full shingle→minhash→LSH→verify pipeline four times.  Mirrors the
+#: warehouse-scale design where signatures/buckets/pairs are
+#: materialized tables written once per ingest batch, not recomputed
+#: per consumer.  Keyed on applicationId so a new session never sees
+#: another session's DataFrames.
+_SHARED: dict[tuple, DataFrame] = {}
+
+
+def _shared(spark: SparkSession, key_suffix: tuple, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, *key_suffix)
+    df = _SHARED.get(key)
+    if df is None:
+        df = build().persist()
+        _SHARED[key] = df
+    return df
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = d.filter(F.col("doc_id") % 7 == 0).select(
@@ -39,16 +61,31 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + near-copies (every 7th doc with its last 2 words
-    dropped) — the ground truth the LSH pipeline must recover."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    mutated = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ").alias(
-            "text"
-        ),
+    dropped) — the ground truth the LSH pipeline must recover.
+    Persisted once per session (four queries consume it)."""
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split("text", " ")
+        mutated = d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+            ).alias("text"),
+        )
+        return d.unionByName(mutated)
+
+    return _shared(spark, ("near_dup_corpus", sf_dir), build)
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Verified near-dup pair set over the injected corpus, shared by
+    llm_dedup_near (emits it) and llm_dedup_cc (clusters it)."""
+    return _shared(
+        spark,
+        ("near_dup_pairs", sf_dir, threshold),
+        lambda: near_duplicates(_near_dup_corpus(spark, sf_dir), threshold=threshold),
     )
-    return d.unionByName(mutated)
 
 
 @query(
@@ -83,7 +120,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed literal seeds) but not one-statement-SQL-expressible ->
     tier C; the unit test asserts every injected near-copy pair is
     recovered and every reported pair clears the threshold."""
-    return near_duplicates(_near_dup_corpus(spark, sf_dir), threshold=0.5)
+    return _near_dup_pairs(spark, sf_dir, threshold=0.5)
 
 
 @query(

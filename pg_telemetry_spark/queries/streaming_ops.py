@@ -252,14 +252,15 @@ def snk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = FileStreamHarness(spark, STREAM_SCHEMA)
     for b in (day1, day2):
         h.add_batch(b)
-        q = (
-            h.stream()
-            .writeStream.foreachBatch(write_warehouse)
-            .option("checkpointLocation", h.checkpoint("sink"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with h.sized_shuffle():
+            q = (
+                h.stream()
+                .writeStream.foreachBatch(write_warehouse)
+                .option("checkpointLocation", h.checkpoint("sink"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     back = spark.read.schema(STREAM_SCHEMA).parquet(f"{sink_dir}/batch_id=*")
     return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
 

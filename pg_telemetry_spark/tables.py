@@ -17,6 +17,8 @@ layouts.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -134,15 +136,69 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table with its explicit schema."""
-    prepare_session(spark)
+#: Session-lifetime table cache, keyed on (applicationId, sf_dir, name).
+#:
+#: The driver's correctness sweep runs 130+ registered queries against
+#: the SAME ten small fixture tables in one session — re-reading and
+#: re-decoding the same parquet per query dominates the sweep cost at
+#: sf0.01.  Caching each base table once (persist MEMORY_AND_DISK,
+#: materialized lazily on first use) amortizes that across the sweep.
+#:
+#: This is explicitly a FIXTURE-SWEEP amortization, not the 100 TB
+#: posture: persisting a full table defeats parquet filter pushdown
+#: and column pruning at the scan, which is the wrong trade the moment
+#: a table no longer fits the cluster's storage memory and each query
+#: touches a slice of it.  At warehouse scale the engine reads through
+#: the catalog with pushdown (see ``load_events_sliced`` and
+#: PLANS.md's pushed-scan audit, both of which bypass this cache).
+#: Disable with PG_TELEMETRY_SPARK_NO_TABLE_CACHE=1 (plan-shape tests
+#: and tools/gen_plans.py do, so the audited plans stay the cold-path
+#: pushdown plans).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("PG_TELEMETRY_SPARK_NO_TABLE_CACHE", "") != "1"
+
+
+def clear_table_cache() -> None:
+    """Unpersist and forget every cached table (test hook)."""
+    for df in _TABLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _TABLE_CACHE.clear()
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn(
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ),
         )
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, cache: bool | None = None
+) -> DataFrame:
+    """Load one fixture table with its explicit schema.
+
+    ``cache=None`` (default) follows the env toggle; ``cache=False``
+    forces the direct pushdown-friendly read (plan audits).
+    """
+    prepare_session(spark)
+    if cache is None:
+        cache = _cache_enabled()
+    if not cache:
+        return _read_table(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _read_table(spark, sf_dir, name).persist()
+        _TABLE_CACHE[key] = df
     return df
 
 

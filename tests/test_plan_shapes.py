@@ -49,7 +49,14 @@ def test_filter_pushed_to_parquet_scan(spark, sf_dir):
 
 
 def test_column_pruning_in_read_schema(spark, sf_dir):
-    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # cache=False alone is not enough: Spark's CacheManager substitutes
+    # ANY logical plan matching a cached one, so a lineitem persisted by
+    # an earlier test would replace this scan with InMemoryRelation.
+    # Drop the session table cache to audit the true cold path.
+    from pg_telemetry_spark.tables import clear_table_cache
+
+    clear_table_cache()
+    df = load_table(spark, sf_dir, "lineitem", cache=False).select("l_orderkey", "l_quantity")
     plan = _formatted(df)
     rs = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert rs and "l_orderkey" in rs[0] and "l_quantity" in rs[0]

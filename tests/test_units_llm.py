@@ -72,6 +72,33 @@ def test_lsh_candidates_superset_of_exact_dupes(spark, sf_dir):
     assert injected <= cands
 
 
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """Boilerplate skew: 30% of docs share one long identical prefix,
+    so their minhash band slices collide and pile into the same LSH
+    buckets.  Uncapped, that is O(k²) candidate pairs from the hot
+    buckets; with the cap the bucket is dropped pre-join and the
+    candidate count stays bounded.  (AQE splits the shuffle partitions
+    of a hot bucket but NOT the pair count — only the cap does.)"""
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    prefix = " ".join(words * 12)  # ~700 chars, dwarfs any suffix
+    rows = []
+    for i in range(300):  # hot cohort: identical prefix, tiny unique tail
+        rows.append((i, f"{prefix} tail{i}"))
+    for i in range(300, 1000):  # background: unrelated texts
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = minhash_signatures(with_shingle_hashes(docs))
+
+    uncapped = lsh_candidate_pairs(sig, max_bucket_size=None).count()
+    capped = lsh_candidate_pairs(sig, max_bucket_size=20).count()
+    # hot cohort alone contributes ~300*299/2 ≈ 45k uncapped pairs;
+    # capped, each surviving bucket adds ≤ 20*19/2 pairs (measured
+    # ~4.5k total: the cohort's tail-shingle sub-buckets)
+    assert uncapped > 40_000, f"skew fixture not hot enough: {uncapped}"
+    assert capped < 6_000, f"cap did not bound candidates: {capped}"
+    assert capped < uncapped / 5
+
+
 def test_incremental_dedup_equals_full_rebuild(spark, sf_dir):
     """Index the original docs once, then dedup the injected-copy delta
     incrementally: base pairs + delta pairs must equal a full rebuild
@@ -145,3 +172,26 @@ def test_connected_components_match_union_find(spark, sf_dir):
     assert got == expected
     kept = [x for x, c in got.items() if x == c]
     assert len(kept) == len(set(got.values()))
+
+    # the star variant must produce the identical labeling
+    from pg_telemetry_spark.operators.components import connected_components_star
+
+    got_star = {r.id: r.comp for r in connected_components_star(pairs).collect()}
+    assert got_star == expected
+
+
+def test_star_components_on_adversarial_chain(spark):
+    """A 400-node path is the adversarial input for min-label
+    propagation (needs diameter≈400 rounds; the plain variant caps at
+    20 and raises).  Large-star/small-star must label the whole chain
+    with its minimum in O(log n) alternating rounds."""
+    from pg_telemetry_spark.operators.components import connected_components_star
+
+    n = 400
+    chain = [(i, i + 1) for i in range(n - 1)]
+    extra = [(1000 + i, 1000 + i + 7) for i in range(0, 70, 7)]  # 2nd component
+    edges = spark.createDataFrame(chain + extra, "id1 bigint, id2 bigint")
+    got = {r.id: r.comp for r in connected_components_star(edges).collect()}
+    assert {x for x in got if x < 1000} == set(range(n))
+    assert all(c == 0 for x, c in got.items() if x < 1000)
+    assert all(c == 1000 for x, c in got.items() if x >= 1000)

@@ -61,6 +61,41 @@ def test_ivf_structural_and_recall(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall {recall} too low"
 
 
+def test_ivf_kmeans_structural_recall_and_determinism(spark, sf_dir):
+    """k-means quantizer: unit-norm centroids, full partition of the
+    corpus, a recall floor vs exact brute force, and bit-identical
+    centroids across two runs (deterministic sample + init, no RNG)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = build_ivf_index(emb, method="kmeans", k=16, iters=3)
+    cent_rows = centroids.collect()
+    assert len(cent_rows) == 16
+    for r in cent_rows:
+        norm = math.sqrt(sum(x * x for x in r.cv))
+        assert abs(norm - 1.0) < 1e-9, f"cell {r.cell_id} centroid not unit-norm"
+    assert assigned.count() == emb.count()
+
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    approx = ivf_topk(centroids, assigned, probes, k=5, nprobe=4)
+    exact = brute_force_topk(emb, probes, k=5)
+    a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"IVF-kmeans recall {recall} too low"
+
+    again = {
+        (r.cell_id, tuple(round(x, 12) for x in r.cv))
+        for r in build_ivf_index(emb, method="kmeans", k=16, iters=3)[0].collect()
+    }
+    first = {
+        (r.cell_id, tuple(round(x, 12) for x in r.cv)) for r in cent_rows
+    }
+    assert again == first, "k-means centroids not deterministic across runs"
+
+
 def test_multimodal_plumbing_deterministic_and_shaped(spark, sf_dir):
     from pg_telemetry_spark.operators.multimodal import (
         decode_features,

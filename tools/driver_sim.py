@@ -1,5 +1,5 @@
 """Simulate the driver's verify: plain SparkSession, entry smoke, t2 loop."""
-import sys, hashlib, datetime as dt
+import sys, hashlib, time, datetime as dt
 from decimal import Decimal
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -37,12 +37,16 @@ def vhash(cols, rows):
 
 qs, osql = e.queries(), e.oracle_sql()
 ok = bad = 0
+t_start = time.perf_counter()
+timings = {}
 for name, fn in sorted(qs.items()):
+    t0 = time.perf_counter()
     df = fn(spark, SF)
     scols = sorted(df.columns)
     srows = [tuple(r[c] for c in scols) for r in df.collect()]
     if name not in osql:
-        print(f"  {name}: rows-only, {len(srows)} rows"); ok += 1; continue
+        timings[name] = time.perf_counter() - t0
+        print(f"  {name}: rows-only, {len(srows)} rows [{timings[name]:.2f}s]"); ok += 1; continue
     cur = con.execute(osql[name])
     dnames = [d[0] for d in cur.description]
     order = sorted(range(len(dnames)), key=lambda i: dnames[i])
@@ -50,7 +54,10 @@ for name, fn in sorted(qs.items()):
     drows = [tuple(r[i] for i in order) for r in cur.fetchall()]
     match = (scols == dcols and len(srows) == len(drows)
              and vhash(scols, srows) == vhash(dcols, drows))
-    print(f"  {name}: cols={scols==dcols} rows={len(srows)}/{len(drows)} hash={'MATCH' if match else 'MISMATCH'}")
+    timings[name] = time.perf_counter() - t0
+    print(f"  {name}: cols={scols==dcols} rows={len(srows)}/{len(drows)} hash={'MATCH' if match else 'MISMATCH'} [{timings[name]:.2f}s]")
     ok += match; bad += (not match)
-print(f"T2: {ok} ok, {bad} mismatched")
+slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+print("slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+print(f"T2: {ok} ok, {bad} mismatched, total {time.perf_counter() - t_start:.1f}s")
 sys.exit(1 if bad else 0)
