@@ -55,6 +55,12 @@ HEADLINE = [
     "wl_upsert_scd1",
     "ts_time_weighted_avg",
     "ts_gapfill_interp",
+    # round-2 extensions
+    "wl_funnel",
+    "wl_retention",
+    "llm_chunk_docs",
+    "llm_pack_sequences",
+    "ts_resample_ohlc",
 ]
 
 

@@ -5,6 +5,7 @@ Each module covers one group of SURVEY.md §2's operator inventory.
 
 from pg_telemetry_spark.queries import (  # noqa: F401
     aggs,
+    analytics_ext,
     asof_misc,
     flagship,
     joins,

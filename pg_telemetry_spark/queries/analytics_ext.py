@@ -1,0 +1,731 @@
+"""Round-2 extension operators — SURVEY.md §2.13.
+
+Product-analytics composites (funnel, retention, profiling), further
+statistics (correlation/regression aggregates, rolling z-score
+anomaly, EWMA), window extras (percent_rank/cume_dist/ntile), and
+LLM-pipeline additions (document chunking, greedy sequence packing,
+PII redaction, deterministic stratified sampling, edit-distance
+pairs).  All tier A: every one carries a DuckDB oracle.
+
+Scale notes are per-query; the shared rules (SCALE.md) apply — every
+shape here is scan → narrow map → hash-agg/window on a natural key,
+no driver-side data paths, no crossJoins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+#: events view needs the nanos→timestamp rewrite on the DuckDB side
+#: (same convention as queries/aggs.py).
+EVENTS_V = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events)"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "win_pct_ntile",
+    group="windows",
+    oracle=f"""
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       ntile(4) OVER w AS quartile
+FROM {EVENTS_V} e
+WHERE event_type IN ('purchase', 'signup')
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def win_pct_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile quartiles per event type.
+    The window orders by (value, event_id): ntile assignment depends
+    on ROW order, so the tie-break is what makes it engine-portable."""
+    e = _events(spark, sf_dir).filter(F.col("event_type").isin("purchase", "signup"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ------------------------------------------------------------------- aggs
+
+
+@query(
+    "agg_corr_regr",
+    group="aggs",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS price_intercept,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / least-squares regression aggregates
+    per return flag — single-pass moment sketches in both engines
+    (mergeable partials, so the shuffle carries 5 doubles per group).
+    Ratio outputs (corr, slope) round to 6; the intercept mixes
+    ~1e4-magnitude sums so it rounds to 2 (double precision edge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "price_intercept"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# ------------------------------------------------------------- timeseries
+
+
+@query(
+    "ts_zscore_anomaly",
+    group="timeseries",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(*) OVER w AS n_win
+  FROM {EVENTS_V} e
+  WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value,
+       round((value - mu) / sigma, 6) AS zscore
+FROM scored
+WHERE n_win >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+""",
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each error event scored against
+    the mean/stddev of its user's PRECEDING 19 events (never itself —
+    self-inclusion masks spikes).  A pure window shape: one shuffle on
+    the series key, O(1) state per row at any scale."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter((F.col("n_win") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "ts", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+@query(
+    "ts_ewma",
+    group="timeseries",
+    oracle=f"""
+WITH series AS (
+  SELECT user_id, event_type, list(value ORDER BY ts, event_id) AS vs
+  FROM {EVENTS_V} e
+  WHERE user_id < 500
+  GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, len(vs) AS n_points,
+       round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+FROM series
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.2) per series.
+
+    EWMA is a left fold (a recurrence, not a window aggregate): the
+    series is assembled as a deterministically ordered array —
+    ``array_sort(collect_list(struct(ts, event_id, value)))`` — and
+    folded with a higher-order ``aggregate``, seeded with the first
+    value (both engines fold strictly left-to-right, so the doubles
+    are bit-identical).  One hash-agg shuffle on the series key; the
+    array length is the series length, which a telemetry layout bounds
+    per partition (day-partitioned series)."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 500)
+    vs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    series = e.groupBy("user_id", "event_type").agg(vs.alias("vs"))
+    ewma = F.aggregate(
+        F.slice("vs", 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return series.select(
+        "user_id",
+        "event_type",
+        F.size("vs").alias("n_points"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------- scalars
+
+
+@query(
+    "fn_levenshtein",
+    group="scalars",
+    oracle="""
+WITH heads AS (
+  SELECT doc_id, substring(text, 1, 24) AS head FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 12
+""",
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs over short document prefixes — the fuzzy
+    string-match primitive (typo-tolerant entity matching).  The demo
+    windows to 60 docs; the scale path blocks candidates first (LSH /
+    length bands) and only then pays the O(m·n) distance, exactly like
+    the Jaccard verify pipeline."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.substring("text", 1, 24).alias("head"))
+    )
+    a = d.select(F.col("doc_id").alias("id1"), F.col("head").alias("h1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("head").alias("h2"))
+    dist = F.levenshtein("h1", "h2")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(dist <= 12)
+        .select("id1", "id2", dist.alias("edit_dist"))
+    )
+
+
+# --------------------------------------------------------------- workload
+
+
+@query(
+    "wl_funnel",
+    group="workload",
+    oracle=f"""
+WITH stages AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM {EVENTS_V} e
+  GROUP BY user_id
+)
+SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+       count(*) FILTER (WHERE t_click > t_view) AS n_click_after_view,
+       count(*) FILTER (WHERE t_purchase > t_click AND t_click > t_view)
+         AS n_full_funnel
+FROM stages
+""",
+)
+def wl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: first
+    timestamp per stage per user, then ordered-progression counts.
+    One hash-agg on user_id plus a global fold — the canonical product
+    funnel at any scale (NULL comparisons drop non-converters
+    naturally in both engines)."""
+    e = _events(spark, sf_dir)
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count_if(F.col("t_view").isNotNull()).alias("n_view"),
+        F.count_if(F.col("t_click") > F.col("t_view")).alias("n_click_after_view"),
+        F.count_if(
+            (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_click") > F.col("t_view"))
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "wl_retention",
+    group="workload",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM {EVENTS_V} e GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM {EVENTS_V} e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day,
+       count(DISTINCT user_id) AS cohort_size,
+       count(DISTINCT user_id) FILTER (WHERE day_offset = 1) AS retained_d1,
+       count(DISTINCT user_id) FILTER (WHERE day_offset = 7) AS retained_d7
+FROM activity
+GROUP BY cohort_day
+""",
+)
+def wl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, retention
+    measured at day +1 and +7.  Two hash-aggs on user_id/cohort keys;
+    the distinct day-offset set per user is bounded by the retention
+    horizon, so state never grows with event volume."""
+    e = _events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(F.when(F.col("day_offset") == 1, F.col("user_id"))).alias(
+            "retained_d1"
+        ),
+        F.countDistinct(F.when(F.col("day_offset") == 7, F.col("user_id"))).alias(
+            "retained_d7"
+        ),
+    )
+
+
+@query(
+    "wl_profile_columns",
+    group="workload",
+    oracle="""
+SELECT 'o_custkey' AS col, count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority)
+FROM orders
+""",
+)
+def wl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep: per-column row/null/distinct counts — the
+    first query any ingest QA runs.  Expressed as one pass per column
+    on the Spark side via a single multi-aggregate then unpivoted
+    in-plan (stack), so the table is scanned ONCE, not once per column
+    (the oracle's UNION ALL shape is the semantic spec, not the plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', n_rows, n_rows - nn_custkey, nd_custkey, "
+            "'o_orderstatus', n_rows, n_rows - nn_status, nd_status, "
+            "'o_totalprice', n_rows, n_rows - nn_price, nd_price, "
+            "'o_orderpriority', n_rows, n_rows - nn_prio, nd_prio"
+            ") AS (col, n_rows, n_nulls, n_distinct)"
+        )
+    )
+
+
+# -------------------------------------------------------------------- llm
+
+
+@query(
+    "llm_chunk_docs",
+    group="llm_ext",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 2000
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       len(list_slice(t, i * 40 + 1, i * 40 + 50)) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, i * 40 + 1, i * 40 + 50), ' '))
+         AS chunk_md5
+FROM toks, unnest(range(0, CAST(floor((len(t) - 1) / 40) AS BIGINT) + 1))
+     AS u(i)
+""",
+)
+def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping 50-token windows, stride 40 —
+    the context-window preprocessing every training/RAG pipeline runs.
+    A narrow explode (each doc → ceil(n/40) chunk rows) with zero
+    shuffle; chunk identity is (doc_id, chunk_id) and content is
+    md5-fingerprinted for the hash-match."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.floor((F.size("t") - 1) / 40).cast("int") + 1
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice("t", F.col("chunk_id") * 40 + 1, 50)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    group="llm_ext",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(floor(
+           (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ) / 512.0) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT lang, coalesce(bin_id, 0) AS bin_id,
+       count(*) AS n_docs, sum(n_tok) AS bin_tokens, min(doc_id) AS first_doc
+FROM packed
+GROUP BY lang, coalesce(bin_id, 0)
+""",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into ~512-token training bins per
+    language: bin id = floor(running-token-sum-before / 512) over a
+    deterministic doc order — the streaming packer (each bin may
+    overflow by at most one doc, the standard trade for a one-pass
+    shuffle-light packing; optimal bin packing is NP-hard and
+    pointless at corpus scale).  One window + one hash-agg, both on
+    the lang partition key."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.coalesce(F.floor(F.sum("n_tok").over(w) / 512.0), F.lit(0)).cast("long"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "llm_pii_redact",
+    group="llm_ext",
+    oracle=r"""
+WITH synth AS (
+  SELECT doc_id,
+         concat('reach u', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' :: ',
+                substring(text, 1, 60)) AS raw
+  FROM documents WHERE doc_id < 3000
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+       len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS n_phones
+FROM synth
+""",
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails and phone numbers (planted
+    deterministically from doc_id so the fixture actually contains
+    PII) and count what was removed — the compliance pass every
+    training corpus runs before release.  Pure narrow map; the regex
+    subset used (character classes, bounded repeats) behaves
+    identically under Java regex and RE2."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    raw = F.concat(
+        F.lit("reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "),
+        F.substring("text", 1, 60),
+    )
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    synth = d.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("raw", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(phone_re), 0)).alias("n_phones"),
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    group="timeseries",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM {EVENTS_V} e
+  WHERE user_id < 200
+)
+SELECT user_id, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_ticks,
+       round(sum(value), 6) AS volume
+FROM ranked
+GROUP BY user_id, bucket
+""",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — open/high/low/close per (series, hour), the
+    telemetry/finance downsample that keeps first/last semantics.
+    open/close are single-pass ``min_by``/``max_by`` over the
+    composite (ts, event_id) order (tie-broken, so both engines pick
+    the same row); one hash-agg on the natural (series, bucket) key."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 200)
+    order = F.struct("ts", "event_id")
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count("*").alias("n_ticks"),
+        F.round(F.sum("value"), 6).alias("volume"),
+    )
+
+
+@query(
+    "agg_mode_portable",
+    group="aggs",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS vb, count(*) AS n
+  FROM {EVENTS_V} e GROUP BY event_type, CAST(floor(value / 50) AS BIGINT)
+)
+SELECT event_type, vb AS modal_bucket, n AS modal_count
+FROM buckets
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, vb ASC) = 1
+""",
+)
+def agg_mode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value bucket) per event type with an
+    EXPLICIT tie-break — native ``mode()`` aggregates leave ties
+    engine-defined, so the portable formulation is count + windowed
+    argmax, the same two-shuffle shape at any scale (the count
+    pre-aggregates, so the window sees one row per distinct value)."""
+    e = _events(spark, sf_dir)
+    buckets = e.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("long").alias("vb")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("vb").asc())
+    return (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("vb").alias("modal_bucket"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+
+
+@query(
+    "fn_url_extract",
+    group="scalars",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.', lang, '/docs/',
+                CAST(doc_id AS VARCHAR), '?page=', CAST(doc_id % 7 AS VARCHAR),
+                '&ref=', lang) AS url
+  FROM documents WHERE doc_id < 5000
+)
+SELECT doc_id, url,
+       regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'page=([0-9]+)', 1) AS page_param
+FROM urls
+""",
+)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing via regex groups (host / path / query param) — the
+    web-corpus normalization primitive.  Regex-based rather than
+    ``parse_url`` so the exact same pattern semantics run on any
+    engine; a pure narrow map."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        F.col("lang"),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="),
+        F.col("lang"),
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    return urls.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"https://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"page=([0-9]+)", 1).alias("page_param"),
+    )
+
+
+@query(
+    "src_binaryfile",
+    group="sources",
+    oracle="""
+SELECT concat('doc_', CAST(doc_id AS VARCHAR), '.txt') AS file_name,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 40
+""",
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion through the ``binaryFile`` source — the
+    path multimodal corpora (images/audio) arrive by: land files,
+    read (path, length, bytes), fingerprint content.  The oracle
+    recomputes length/md5 from the source table, so this is a true
+    write→read→decode round-trip parity check.  At scale binaryFile
+    scans parallelize per file with pushed path filters; payload bytes
+    stay opaque binary until a mapInPandas decode (operators/
+    multimodal.py)."""
+    import tempfile
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    out_dir = tempfile.mkdtemp(prefix="pgts_binfiles_")
+
+    def land(rows) -> None:
+        # executor-side landing (local FS here, shared FS on a
+        # cluster) — file contents never route through the driver
+        import os
+
+        for r in rows:
+            with open(os.path.join(out_dir, f"doc_{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    d.foreachPartition(land)
+    files = spark.read.format("binaryFile").load(out_dir)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    group="llm_ext",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM tagged
+WHERE bucket < 26
+GROUP BY lang
+""",
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample per language via md5-digit
+    bucketing of the stable doc_id (the same engine-independent trick
+    as llm_split_hash: identical membership on any engine, any run,
+    any cluster size — which `sample(fraction, seed)` cannot give).
+    A narrow map + small agg; at scale the sample predicate pushes
+    into the scan of a bucket-partitioned layout."""
+    d = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    bucket = (
+        (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1)
+        * 16
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 2, 1))") - 1)
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 26)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -265,6 +265,62 @@ def snk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
+@query("str_stream_stream_join", group="streaming", tier="C")
+def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: a click stream
+    joins a purchase stream on user_id where the purchase lands within
+    1 hour AFTER the click.  Both sides carry watermarks, and the
+    time-range condition lets Spark expire join state (without it,
+    stream-stream state grows forever — THE failure mode of unbounded
+    stream joins).  Two file sources, two micro-batches each; returns
+    per-user match counts."""
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    clicks_h = FileStreamHarness(spark, STREAM_SCHEMA)
+    buys_h = FileStreamHarness(spark, STREAM_SCHEMA)
+    matched: list = []
+    for b in (day1, day2):
+        clicks_h.add_batch(b.filter(F.col("event_type") == "click"))
+        buys_h.add_batch(b.filter(F.col("event_type") == "purchase"))
+        clicks = (
+            clicks_h.stream()
+            .withWatermark("ts", "30 minutes")
+            .select(
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+        )
+        buys = (
+            buys_h.stream()
+            .withWatermark("ts", "30 minutes")
+            .select(
+                F.col("user_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"),
+            )
+        )
+        joined = clicks.join(
+            buys,
+            (clicks.user_id == buys.user_id)
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select(clicks.user_id, "click_id", "buy_id")
+        # the capture sink needs a checkpoint shared across runs; reuse
+        # the click harness's checkpoint namespace
+        for captured in clicks_h.run_available(joined, "ssjoin", output_mode="append"):
+            matched.extend(captured)
+    out = spark.createDataFrame(
+        [(r.user_id, r.click_id, r.buy_id) for r in matched],
+        "user_id bigint, click_id bigint, buy_id bigint",
+    )
+    return (
+        out.dropDuplicates(["click_id", "buy_id"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
 @query("str_session_window", group="streaming", tier="C")
 def str_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (30-minute inactivity gap) —

@@ -149,3 +149,45 @@ def test_streaming_sessions_match_batch_gaps_and_islands(spark, sf_dir):
         en, es, eend = expected[key]
         assert (n, round(s, 6)) == (en, round(es, 6)), key
         assert end == eend + gap, (key, end, eend)
+
+
+def test_stream_stream_join_matches_batch_join(spark, sf_dir):
+    """The watermarked stream-stream join must find exactly the pairs
+    a batch time-range join finds on the same two days of data (both
+    sides fully replayed, so no matches are lost to the watermark)."""
+    from pg_telemetry_spark.queries.streaming_ops import (
+        _day_batches,
+        _stream_events,
+    )
+    from pg_telemetry_spark.registry import all_queries
+
+    streamed = {
+        (r.user_id, r.n_matches)
+        for r in all_queries()["str_stream_stream_join"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    both = day1.unionByName(day2)
+    clicks = both.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys = both.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    batch = (
+        clicks.join(
+            buys,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    expected = {(r.user_id, r.n_matches) for r in batch.collect()}
+    assert streamed == expected
