@@ -688,6 +688,184 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wl_dau_wau_mau",
+    group="workload",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM {EVENTS_V} e
+), bounds AS (
+  SELECT max(d) AS max_d FROM ud
+), contrib AS (
+  SELECT user_id, d + CAST(i AS INTEGER) AS target_d, i
+  FROM ud, unnest(range(0, 30)) u(i)
+)
+SELECT target_d AS day,
+       count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau,
+       count(DISTINCT CASE WHEN i < 7 THEN user_id END) AS wau,
+       count(DISTINCT user_id) AS mau
+FROM contrib, bounds
+WHERE target_d <= bounds.max_d
+GROUP BY target_d
+""",
+)
+def wl_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts (DAU / 7-day WAU / 30-day MAU) per
+    day in ONE aggregate: each (user, active-day) row is exploded into
+    the ≤30 future days it contributes to, tagged with its offset, and
+    a single conditional count-distinct per day does the rest.  The
+    contribute-forward expansion is the scale shape for sliding
+    distinct counts — a bounded 30× narrow fan-out shuffled once on
+    the day key, instead of a distinct-over-range-window (which Spark
+    cannot do) or 30 self-joins.  At extreme scale swap the exact
+    distinct for the HLL-sketch variant (see agg_hll_rollup)."""
+    e = _events(spark, sf_dir)
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+    ).select("user_id", F.date_add("d", F.col("i")).alias("target_d"), "i")
+    bounds = ud.agg(F.max("d").alias("max_d"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_d") <= F.col("max_d"))
+        .groupBy(F.col("target_d").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("i") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(F.when(F.col("i") < 7, F.col("user_id"))).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+    )
+
+
+@query(
+    "wl_attribution",
+    group="workload",
+    oracle=f"""
+WITH touches AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+             IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lt_type,
+         lag(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lt_ts
+  FROM {EVENTS_V} e
+)
+SELECT CASE WHEN lt_ts IS NOT NULL
+             AND ts - lt_ts <= INTERVAL 3 DAY THEN lt_type
+            ELSE 'organic' END AS channel,
+       count(*) AS n_purchases
+FROM touches
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def wl_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent view/click within a 3-day lookback, else 'organic'.  The
+    as-of lookup is lag(IGNORE NULLS) — one window over the series
+    key, no join — Spark's equivalent is last(ignorenulls) over the
+    preceding frame (same pattern win_ignorenulls pins)."""
+    e = _events(spark, sf_dir)
+    touch_type = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    touch_ts = F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touches = e.select(
+        "event_type",
+        "ts",
+        F.last(touch_type, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    channel = F.when(
+        F.col("lt_ts").isNotNull()
+        & (F.col("ts") - F.col("lt_ts") <= F.expr("INTERVAL 3 DAY")),
+        F.col("lt_type"),
+    ).otherwise("organic")
+    return (
+        touches.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+@query(
+    "llm_bigram_lm",
+    group="llm_ext",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) u(i)
+  WHERE len(t) >= 2
+), uni AS (
+  SELECT w1, count(*) AS u_n FROM grams GROUP BY w1
+), bi AS (
+  SELECT w1, w2, count(*) AS b_n FROM grams GROUP BY w1, w2
+), vocab AS (
+  SELECT count(DISTINCT w1) AS v FROM grams
+)
+SELECT g.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln((b.b_n + 1.0) / (u.u_n + vocab.v))), 6) AS avg_logprob
+FROM grams g
+JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+JOIN uni u ON g.w1 = u.w1
+CROSS JOIN vocab
+GROUP BY g.doc_id
+""",
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring: train corpus bigram
+    counts IN the plan, then score every document by its mean add-1-
+    smoothed bigram log-probability — the model-based fluency filter
+    (low avg logprob ≈ disfluent/garbled text) that complements the
+    heuristic llm_quality features.  Count tables join back on the
+    bigram key (uniform hash shuffles); the vocabulary size arrives as
+    a broadcast 1-row aggregate, the same no-collect scalar pattern as
+    llm_tfidf."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = grams.groupBy("w1").agg(F.count("*").alias("u_n"))
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("b_n"))
+    vocab = grams.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp", F.log((F.col("b_n") + 1.0) / (F.col("u_n") + F.col("v")))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+    )
+
+
+@query(
     "llm_sample_stratified",
     group="llm_ext",
     oracle="""

@@ -123,3 +123,106 @@ def test_near_dup_self_pairs_always_found(spark, texts):
     }
     for i in range(n):
         assert found.get((i, i + n)) == 1.0, f"exact self-pair {i} missed"
+
+
+_texts = st.lists(
+    st.text(alphabet="ab cdef", min_size=1, max_size=200).map(
+        lambda s: " ".join(s.split()) or "x"
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts)
+@_slow
+def test_chunking_reconstructs_tokens(spark, texts):
+    """llm_chunk_docs invariant: stitching each doc's chunks back
+    together (drop the 10-token overlap from every chunk after the
+    first) reproduces the original token sequence exactly — no token
+    lost or duplicated for ANY text."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.floor((F.size("t") - 1) / 40).cast("int") + 1
+    chunks = toks.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("cid")
+    ).select(
+        "doc_id",
+        "cid",
+        F.slice("t", F.col("cid") * 40 + 1, 50).alias("piece"),
+    )
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r.doc_id, {})[r.cid] = list(r.piece)
+    for doc_id, text in rows:
+        pieces = got[doc_id]
+        stitched: list = []
+        for cid in sorted(pieces):
+            p = pieces[cid]
+            stitched.extend(p if cid == 0 else p[10:] if len(p) > 10 else [])
+        # trailing chunks shorter than the overlap add nothing new
+        expected = text.split(" ")
+        assert stitched[: len(expected)] == expected
+        assert len(stitched) == len(expected)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 400), min_size=1, max_size=50),
+)
+@_slow
+def test_packing_bins_bounded_overflow(spark, sizes):
+    """llm_pack_sequences invariant: every bin's token total is under
+    cap + max(doc) — the one-pass packer can overflow by at most one
+    document — and bin ids are dense from 0 in doc order."""
+    cap = 512
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    sized = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = sized.withColumn(
+        "bin_id",
+        F.coalesce(F.floor(F.sum("n_tok").over(w) / float(cap)), F.lit(0)).cast(
+            "long"
+        ),
+    )
+    bins = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_tok").alias("tot"))
+        .collect()
+    )
+    max_doc = max(sizes)
+    for b in bins:
+        assert b.tot < cap + max_doc
+    ids = sorted(r.bin_id for r in bins)
+    assert ids == list(range(len(ids)))
+
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_slow
+def test_ewma_matches_local_fold(spark, vals):
+    """ts_ewma's higher-order fold equals the plain Python recurrence
+    for ANY series (alpha=0.2, seeded with the first value)."""
+    rows = [(0, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id bigint, seq bigint, value double")
+    vs = F.transform(
+        F.array_sort(F.collect_list(F.struct("seq", "value"))), lambda s: s["value"]
+    )
+    series = df.groupBy("user_id").agg(vs.alias("vs"))
+    ewma = F.aggregate(
+        F.slice("vs", 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    got = series.select(ewma.alias("e")).head().e
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = 0.2 * v + 0.8 * acc
+    assert abs(got - acc) < 1e-9
