@@ -40,10 +40,14 @@ def connected_components(
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # seed with the 1-hop closed-neighborhood min (not self): shallow
+    # dup graphs (pairs/triangles) then converge in ONE confirming
+    # round instead of two — same agg shape as a propagation round, so
+    # it costs nothing extra
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+        .select(F.col("src").alias("id"), "comp")
         .persist()
     )
     # monotone convergence witness: sum of labels strictly decreases

@@ -866,6 +866,142 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_hierarchy",
+    group="sql",
+    oracle="""
+WITH RECURSIVE r AS (
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+  FROM customer WHERE c_custkey = 0 OR c_custkey % 97 = 0
+  UNION ALL
+  SELECT c.c_custkey, r.root, r.depth + 1
+  FROM customer c
+  JOIN r ON CAST(floor(c.c_custkey / 3) AS BIGINT) = r.node
+  WHERE c.c_custkey <> 0 AND c.c_custkey % 97 <> 0
+)
+SELECT node, root, depth FROM r
+""",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE equivalence: root/depth for every node of a
+    deterministic forest (parent = floor(key/3); keys divisible by 97,
+    plus 0, are roots).  Spark has no WITH RECURSIVE — the idiomatic
+    translation is an iterative frontier BFS: each round joins the
+    frontier to its children (one equi-join), localCheckpoints to keep
+    lineage flat, and stops when the frontier empties.  Rounds =
+    hierarchy depth (≈log₃ max key); the per-round emptiness check is
+    a scalar count, never row data, so the loop is driver-light and
+    each round is a fully distributed join — the same shape at 100 TB
+    (org charts, category trees, thread ancestry are all shallow)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    is_root = (F.col("node") == 0) | (F.col("node") % 97 == 0)
+    children = c.filter(~is_root).select(
+        "node", F.floor(F.col("node") / 3).cast("long").alias("parent")
+    )
+    frontier = c.filter(is_root).select(
+        "node", F.col("node").alias("root"), F.lit(0).alias("depth")
+    ).localCheckpoint(eager=True)
+    out = frontier
+    while frontier.count() > 0:  # scalar emptiness check per level
+        frontier = (
+            children.join(
+                frontier.select(F.col("node").alias("parent"), "root", "depth"),
+                "parent",
+            )
+            .select("node", "root", (F.col("depth") + 1).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+@query(
+    "fn_try_safe",
+    group="scalars",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+              ELSE string_split(text, ' ')[1] END AS maybe_num,
+         string_split(text, ' ') AS toks,
+         CAST(doc_id % 5 AS DOUBLE) AS denom
+  FROM documents WHERE doc_id < 4000
+)
+SELECT doc_id,
+       TRY_CAST(maybe_num AS BIGINT) AS parsed,
+       round(CAST(doc_id AS DOUBLE) / nullif(denom, 0.0), 6) AS safe_div,
+       toks[25] AS elem_25
+FROM raw
+""",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface under ANSI mode: try_cast on a
+    sometimes-numeric string, try_divide for the zero denominator,
+    try_element_at past the array end — each returns NULL where strict
+    ANSI evaluation would abort the job (one poison row must not kill
+    a 100 TB pass; the oracle pins the NULL semantics via TRY_CAST /
+    nullif-division / DuckDB's out-of-range list access)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 4000)
+    toks = F.split("text", " ")
+    raw = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string")
+        ).otherwise(F.element_at(toks, 1)).alias("maybe_num"),
+        toks.alias("toks"),
+        (F.col("doc_id") % 5).cast("double").alias("denom"),
+    )
+    return raw.select(
+        "doc_id",
+        F.expr("try_cast(maybe_num AS BIGINT)").alias("parsed"),
+        F.round(
+            F.try_divide(F.col("doc_id").cast("double"), F.col("denom")), 6
+        ).alias("safe_div"),
+        F.try_element_at("toks", F.lit(25)).alias("elem_25"),
+    )
+
+
+@query(
+    "agg_listagg",
+    group="aggs",
+    oracle="""
+SELECT l_orderkey,
+       string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flags,
+       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                  ORDER BY l_linenumber, l_returnflag) AS line_seq
+FROM lineitem
+WHERE l_orderkey < 2000
+GROUP BY l_orderkey
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg / string_agg WITHIN GROUP):
+    concatenates each order's line flags in line order — the ordered
+    variant agg_collect's sort-then-join can't express when the sort
+    key differs from the output value.  Uses Spark 4's native listagg
+    via SQL WITHIN GROUP syntax.  The fixture has duplicate line
+    numbers per order, so the ORDER BY carries the output value as a
+    tie-break — without it the concatenation order among ties is
+    engine-defined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.filter(F.col("l_orderkey") < 2000).createOrReplaceTempView(
+        "_listagg_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               listagg(l_returnflag, '')
+                 WITHIN GROUP (ORDER BY l_linenumber, l_returnflag) AS flags,
+               listagg(CAST(l_linenumber AS STRING), ',')
+                 WITHIN GROUP (ORDER BY l_linenumber, l_returnflag) AS line_seq
+        FROM _listagg_lineitem
+        GROUP BY l_orderkey
+        """
+    )
+
+
+@query(
     "llm_sample_stratified",
     group="llm_ext",
     oracle="""

@@ -405,22 +405,20 @@ def _incr_base_index(spark: SparkSession, sf_dir: str):
     delta; benching the probe without this would re-bill the O(corpus)
     build to each run (it dominated r1's bench at 10.2 s)."""
     from pg_telemetry_spark.operators.minhash import lsh_index
+    from pg_telemetry_spark.queries.llm import _SHARED
 
-    def build_part(which: int):
-        def build() -> DataFrame:
-            corpus = _near_dup_corpus(spark, sf_dir)
-            base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
-            return lsh_index(base)[which]
-
-        return build
-
-    parts = tuple(
-        _shared(spark, ("incr_base_index", sf_dir, which), build_part(which))
-        for which in range(3)
-    )
-    for df in parts:
-        df.count()  # materialize the persisted index eagerly
-    return parts
+    app = spark.sparkContext.applicationId
+    keys = [(app, "incr_base_index", sf_dir, which) for which in range(3)]
+    if not all(k in _SHARED for k in keys):
+        # build the three tables from ONE pipeline run (shingles feed
+        # signatures feed buckets — separate builds would re-shingle
+        # the corpus three times), persist and materialize each
+        corpus = _near_dup_corpus(spark, sf_dir)
+        base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+        for k, df in zip(keys, lsh_index(base)):
+            _SHARED[k] = df.persist()
+            _SHARED[k].count()
+    return tuple(_SHARED[k] for k in keys)
 
 
 @query("llm_dedup_incr", group="llm_ext", tier="C")

@@ -195,3 +195,30 @@ def test_star_components_on_adversarial_chain(spark):
     assert {x for x in got if x < 1000} == set(range(n))
     assert all(c == 0 for x, c in got.items() if x < 1000)
     assert all(c == 1000 for x, c in got.items() if x >= 1000)
+
+
+def test_operators_handle_empty_and_singleton_inputs(spark):
+    """Degenerate inputs must produce empty (not crashing) results:
+    the first micro-batch of a new corpus, a one-doc corpus, and an
+    empty edge list are all day-one production states."""
+    from pg_telemetry_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+    from pg_telemetry_spark.operators.similarity import sim_join_blockwise
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    one_doc = spark.createDataFrame([(1, "hello world example")], "doc_id bigint, text string")
+    assert near_duplicates(empty_docs).count() == 0
+    assert near_duplicates(one_doc).count() == 0
+
+    empty_edges = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert connected_components(empty_edges).count() == 0
+    assert connected_components_star(empty_edges).count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    one_vec = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert sim_join_blockwise(empty_vecs, threshold=0.1).count() == 0
+    assert sim_join_blockwise(one_vec, threshold=0.1).count() == 0
