@@ -59,7 +59,9 @@ def connected_components(
         )
         # localCheckpoint truncates the lineage so the result plan is
         # one scan of the final labels, not iter-many stacked joins
-        # (on a cluster use checkpoint() against a fault-tolerant dir)
+        # (on a cluster use checkpoint() against a fault-tolerant dir).
+        # Lazy (eager=False): the witness aggregate right below is the
+        # materializing action, so each round costs ONE job, not two.
         new_labels = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
@@ -68,7 +70,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
@@ -157,9 +159,11 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     cur = und
-    prev_w = witness(cur)
+    prev_w = None  # no baseline action: round 1 can't be a fixpoint match
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint: the witness aggregate materializes it, so
+        # each alternation costs one job instead of two
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_w = witness(nxt)
         if cur is not und:
             cur.unpersist()
