@@ -1002,6 +1002,67 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wl_session_paths",
+    group="workload",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, event_type, epoch(ts) AS ep
+  FROM {EVENTS_V} e WHERE user_id < 300
+), tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= 1800 THEN 0 ELSE 1 END AS is_new
+  FROM base
+), sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM tagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       string_agg(substring(event_type, 1, 1), '>' ORDER BY ts, event_id)
+         AS path
+FROM sid
+GROUP BY user_id, session_id
+""",
+)
+def wl_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event-type paths ('v>c>p') — the Sankey / journey
+    input: gaps-and-islands sessionization (30-min gap, same semantics
+    ts_session pins) followed by ordered in-session string aggregation
+    (listagg WITHIN GROUP over the unique (ts, event_id) order).  Two
+    windows and one agg, all on the user/session key."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    tagged = e.select(
+        "user_id", "event_id", "ts", "event_type", ep.alias("ep")
+    ).withColumn(
+        "is_new",
+        F.when((F.col("ep") - F.lag("ep").over(w)) <= 1800, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    sid = tagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sid.createOrReplaceTempView("_session_path_events")
+    return spark.sql(
+        """
+        SELECT user_id, session_id, count(*) AS n_events,
+               listagg(substring(event_type, 1, 1), '>')
+                 WITHIN GROUP (ORDER BY ts, event_id) AS path
+        FROM _session_path_events
+        GROUP BY user_id, session_id
+        """
+    )
+
+
+@query(
     "llm_sample_stratified",
     group="llm_ext",
     oracle="""
