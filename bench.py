@@ -61,6 +61,10 @@ HEADLINE = [
     "llm_chunk_docs",
     "llm_pack_sequences",
     "ts_resample_ohlc",
+    "wl_dau_wau_mau",
+    "llm_bigram_lm",
+    "wl_session_paths",
+    "wl_rollup_cascade",
 ]
 
 

@@ -446,7 +446,14 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow by at most one doc, the standard trade for a one-pass
     shuffle-light packing; optimal bin packing is NP-hard and
     pointless at corpus scale).  One window + one hash-agg, both on
-    the lang partition key."""
+    the lang partition key.
+
+    Scale note: a running sum totally orders each lang partition, so
+    one lang = one window task.  At 100 TB the partition key becomes
+    (lang, shard) with shard = a hash bucket of doc_id — bins never
+    need to cross shards (packing quality is unaffected; bin ids get
+    a shard prefix), which caps task size at corpus/shards regardless
+    of language skew."""
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
@@ -1059,6 +1066,60 @@ def wl_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _session_path_events
         GROUP BY user_id, session_id
         """
+    )
+
+
+@query(
+    "wl_rollup_cascade",
+    group="workload",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(max(value), 6) AS max_value,
+       round(round(sum(value), 6) / count(*), 6) AS avg_value
+FROM {EVENTS_V} e
+GROUP BY event_type, date_trunc('day', ts)
+""",
+)
+def wl_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading mergeable rollups: raw → hourly → daily, with the
+    daily tier derived FROM THE HOURLY TIER, never from raw — the
+    warehouse property that makes multi-granularity telemetry cheap
+    (each coarser tier re-aggregates ~24× fewer rows, and the hourly
+    partials are exactly what the streaming collector maintains
+    incrementally).  Only mergeable shapes survive the cascade:
+    count/sum/max re-aggregate; avg must be carried as sum÷count and
+    derived at the end (a naive avg-of-avgs is wrong under uneven
+    bucket sizes).  The oracle computes the same daily numbers
+    directly from raw — equality IS the mergeability proof."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "hour").alias("day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+        # avg from the ROUNDED sum: the cascaded partial sums associate
+        # differently than a direct sum, so the raw quotients can differ
+        # in the last double digit; the rounded sums are hash-equal, so
+        # quotients of them are too
+        F.round(F.round("sum_value", 6) / F.col("n_events"), 6).alias("avg_value"),
     )
 
 
