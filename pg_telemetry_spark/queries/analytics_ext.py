@@ -1124,6 +1124,109 @@ def wl_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_ratio_to_report",
+    group="windows",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+         AS share_of_customer,
+       round(o_totalprice / sum(o_totalprice) OVER (), 6) AS share_of_total
+FROM orders
+WHERE o_custkey < 300
+""",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's spend and
+    of the filtered total — unbounded window sums as denominators (the
+    empty OVER () is a single global partition: fine for a filtered
+    slice, a deliberate anti-pattern on unbounded data, where the
+    denominator becomes a broadcast 1-row aggregate instead)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w_cust = Window.partitionBy("o_custkey")
+    w_all = Window.partitionBy()
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust), 6
+        ).alias("share_of_customer"),
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 6
+        ).alias("share_of_total"),
+    )
+
+
+@query(
+    "fn_bit_ops",
+    group="scalars",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id >> 8 AS high_bits,
+       xor(event_id, 12345) AS xored,
+       event_id | 4096 AS with_flag,
+       CAST(bit_count(CAST(event_id AS BIGINT)) AS INTEGER) AS popcount
+FROM events
+WHERE event_id < 5000
+""",
+)
+def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (mask/shift/xor/flag/popcount) — flag-field
+    decoding and hash mixing; all JVM-side narrow maps."""
+    e = _events(spark, sf_dir).filter(F.col("event_id") < 5000)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.expr("shiftright(event_id, 8)").alias("high_bits"),
+        F.col("event_id").bitwiseXOR(F.lit(12345)).alias("xored"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    group="aggs",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         avg(l_quantity) AS mu,
+         stddev_pop(l_quantity) AS sd,
+         avg(l_quantity * l_quantity * l_quantity) AS m3raw
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((m3raw - 3 * mu * sd * sd - mu * mu * mu) / (sd * sd * sd), 6)
+         AS skewness
+FROM m
+""",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness per return flag, computed from raw moments
+    (count/mean/stddev_pop/E[x³]) so the estimator definition is
+    pinned by the formula itself, not by an engine's choice of
+    sample-vs-population native skewness() — moment sums are one-pass
+    and mergeable, the same partial-aggregation story as
+    agg_corr_regr."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg(q).alias("mu"),
+        F.stddev_pop(q).alias("sd"),
+        F.avg(q * q * q).alias("m3raw"),
+    )
+    skew = (
+        F.col("m3raw")
+        - 3 * F.col("mu") * F.col("sd") * F.col("sd")
+        - F.col("mu") * F.col("mu") * F.col("mu")
+    ) / (F.col("sd") * F.col("sd") * F.col("sd"))
+    return m.select("l_returnflag", "n", F.round(skew, 6).alias("skewness"))
+
+
+@query(
     "llm_sample_stratified",
     group="llm_ext",
     oracle="""
