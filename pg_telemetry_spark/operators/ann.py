@@ -55,6 +55,22 @@ def kmeans_centroids(
     toward dense cells; empty cells keep their previous centroid (the
     LEFT side of the re-pack join is the previous centroid table).
     """
+    from pg_telemetry_spark.session import sized_shuffle
+
+    with sized_shuffle(corpus.sparkSession):
+        return _kmeans_centroids_impl(
+            corpus, k, iters, sample_stride, id_col, vec_col
+        )
+
+
+def _kmeans_centroids_impl(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    sample_stride: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     sample = corpus.filter(F.col(id_col) % sample_stride == 0).select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).persist()

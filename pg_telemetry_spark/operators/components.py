@@ -36,6 +36,15 @@ def connected_components(
     """(id, comp) for every node in ``edges``; ``comp`` = min node id
     reachable from ``id``.  Deterministic; raises if ``max_iter``
     rounds don't reach the fixpoint."""
+    from pg_telemetry_spark.session import sized_shuffle
+
+    with sized_shuffle(edges.sparkSession):
+        return _connected_components_impl(edges, id1, id2, max_iter)
+
+
+def _connected_components_impl(
+    edges: DataFrame, id1: str, id2: str, max_iter: int
+) -> DataFrame:
     und = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -137,6 +146,15 @@ def connected_components_star(
     At fixpoint every edge is (node, root), i.e. a star, which IS the
     label assignment.
     """
+    from pg_telemetry_spark.session import sized_shuffle
+
+    with sized_shuffle(edges.sparkSession):
+        return _connected_components_star_impl(edges, id1, id2, max_iter)
+
+
+def _connected_components_star_impl(
+    edges: DataFrame, id1: str, id2: str, max_iter: int
+) -> DataFrame:
     und = (
         edges.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
         .filter(F.col("u") != F.col("v"))

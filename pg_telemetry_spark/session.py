@@ -55,6 +55,31 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def sized_shuffle(spark: SparkSession, partitions: int = 16):
+    """Temporarily cap ``spark.sql.shuffle.partitions`` (restored on
+    exit).  For ITERATIVE operators whose per-round state is tiny by
+    construction (component labels, k centroids): on a host session
+    left at the 200-partition default, every round's join + checkpoint
+    materializes 200 near-empty partitions and the fixed per-partition
+    cost dwarfs the work.  AQE coalesces shuffle READS but the
+    checkpoint still lands one block per partition — capping the
+    partition count is what actually bounds the per-round overhead.
+    At cluster scale the caller picks a cap matching its parallelism;
+    this never touches non-iterative query plans."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        if int(old) > partitions:
+            spark.conf.set(key, str(partitions))
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def get_session(app_name: str = "pg_telemetry_spark") -> SparkSession:
     """Build (or fetch) a local session configured for the engine.
 
