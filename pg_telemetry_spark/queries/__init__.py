@@ -18,6 +18,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     sql_surface,
     streaming_ops,
     timeseries,
+    tpch_ext,
     udfs,
     windows,
     workload,
