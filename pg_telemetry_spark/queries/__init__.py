@@ -19,6 +19,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     sql_surface,
     streaming_ops,
     timeseries,
+    timeseries_ext,
     tpch_ext,
     udfs,
     windows,

@@ -1,0 +1,379 @@
+"""Time-series depth + text-retrieval operators: counter-reset-aware
+rates, tolerance-bounded as-of enrichment, visualization decimation
+(min/max and LTTB), BM25 ranking, and an inverted index build.
+
+The counter/gauge distinction is the core of telemetry ingestion: a
+monotonic counter that wraps or restarts must contribute its
+post-reset value, not a negative delta.  The retrieval pair (BM25 +
+posting lists) is the lexical half of every hybrid search stack; the
+fixture documents are whitespace-tokenized so the tokenizer is shared
+with llm_tokenize."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg_telemetry_spark.operators.asof import asof_join
+from pg_telemetry_spark.queries.relational import EVENTS_V
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+
+@query(
+    "ts_counter_reset",
+    group="timeseries",
+    oracle=f"""
+WITH samples AS (
+  SELECT user_id, ts, event_id,
+         fmod(sum(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id), 500.0) AS counter
+  FROM {EVENTS_V} e
+), deltas AS (
+  SELECT user_id,
+         counter - lag(counter) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta,
+         counter
+  FROM samples
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       round(sum(CASE WHEN delta < 0 THEN counter ELSE delta END), 6)
+         AS total_increase
+FROM deltas
+WHERE delta IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def ts_counter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus/tsdb-style increase() over a wrapping monotonic
+    counter: a sawtooth series is derived per user (running sum of
+    event values mod 500 — deterministic, order-pinned), and each
+    negative delta is treated as a RESET contributing the post-reset
+    level instead of the (meaningless) negative difference.  One
+    window shuffle per series key; the reset logic is a branch-free
+    CASE over lag deltas — at 100 TB this is the same shape as any
+    per-series window, and the rollup rides the series partitioning.
+    The cumulative sum is window-ordered so both engines add in the
+    identical order (bit-identical floats)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counter = F.pmod(F.sum("value").over(w), F.lit(500.0))
+    samples = e.select("user_id", "ts", "event_id", counter.alias("counter"))
+    delta = F.col("counter") - F.lag("counter").over(w)
+    deltas = samples.select("user_id", delta.alias("delta"), "counter").filter(
+        F.col("delta").isNotNull()
+    )
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.sum((F.col("delta") < 0).cast("bigint")).alias("n_resets"),
+            F.round(
+                F.sum(
+                    F.when(F.col("delta") < 0, F.col("counter")).otherwise(
+                        F.col("delta")
+                    )
+                ),
+                6,
+            ).alias("total_increase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "join_asof_tol",
+    group="joins",
+    tier="B",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM {EVENTS_V} e WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM {EVENTS_V} e WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       coalesce(CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+                     THEN round(c.value, 6) END, -1.0) AS asof_value,
+       CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+            THEN CAST(1 AS INTEGER) ELSE CAST(0 AS INTEGER) END AS matched
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the nearest prior click
+    enriches a purchase ONLY if it is at most 30 minutes old —
+    older matches surface as NULL (sensor-fusion semantics: a stale
+    reading is worse than none).  Same window-union pattern and cost
+    as join_asof; the tolerance is a post-carry filter on the carried
+    timestamp, not a second join.  Oracle: native DuckDB ASOF JOIN
+    with the tolerance applied to its match — identical semantics
+    because the nearest-prior row either passes the bound or nothing
+    does."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tolerance_seconds=1800,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        # -1.0 sentinel: the driver's canonicalizer treats NULL doubles
+        # as NaN on the oracle side; `matched` carries the semantics
+        F.coalesce(F.round("asof_value", 6), F.lit(-1.0)).alias("asof_value"),
+        F.col("asof_value").isNotNull().cast("int").alias("matched"),
+    )
+
+
+@query(
+    "ts_minmax_decimate",
+    group="timeseries",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         ts, event_id, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY value ASC, ts ASC, event_id ASC) AS rn_min,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY value DESC, ts ASC, event_id ASC) AS rn_max
+  FROM {EVENTS_V} e
+)
+SELECT bucket, event_type,
+       round(min(CASE WHEN rn_min = 1 THEN value END), 6) AS min_value,
+       min(CASE WHEN rn_min = 1 THEN ts END) AS min_ts,
+       round(min(CASE WHEN rn_max = 1 THEN value END), 6) AS max_value,
+       min(CASE WHEN rn_max = 1 THEN ts END) AS max_ts
+FROM pts
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+""",
+)
+def ts_minmax_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max decimation — the downsampling every monitoring UI
+    actually renders (it provably preserves the visual envelope:
+    spikes and dips survive because the extreme POINTS, not bucket
+    aggregates, are kept).  Two rank windows over one (bucket, type)
+    shuffle pick the extreme point per bucket with full tie-breaks;
+    the output is 2 points per bucket per series regardless of input
+    density — the property that makes dashboard queries O(pixels),
+    not O(samples), at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    w_min = Window.partitionBy(bucket, "event_type").orderBy(
+        F.col("value").asc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_max = Window.partitionBy(bucket, "event_type").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pts = e.select(
+        bucket.alias("bucket"),
+        "event_type",
+        "ts",
+        "value",
+        F.row_number().over(w_min).alias("rn_min"),
+        F.row_number().over(w_max).alias("rn_max"),
+    )
+    return (
+        pts.groupBy("bucket", "event_type")
+        .agg(
+            F.round(F.min(F.when(F.col("rn_min") == 1, F.col("value"))), 6).alias(
+                "min_value"
+            ),
+            F.min(F.when(F.col("rn_min") == 1, F.col("ts"))).alias("min_ts"),
+            F.round(F.min(F.when(F.col("rn_max") == 1, F.col("value"))), 6).alias(
+                "max_value"
+            ),
+            F.min(F.when(F.col("rn_max") == 1, F.col("ts"))).alias("max_ts"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@query("ts_lttb", group="timeseries", tier="C")
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling to 100 points per
+    series — the perceptually-optimal decimation (Steinarsson 2013):
+    each bucket keeps the point maximizing the triangle area against
+    the previously kept point and the next bucket's centroid.
+    Inherently sequential per series ⇒ applyInPandas per (small)
+    series key after the same one-shuffle regroup every window op
+    pays; each series' samples stream through one Arrow batch.  The
+    algorithm is deterministic but not SQL-expressible (the kept
+    point depends on the previous choice), hence tier C; the unit
+    test pins endpoints, output size, subset-ness and determinism."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    n_out = 100
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[["event_type", "ts", "event_id", "value"]]
+        x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        keep = [0]
+        # n_out-2 interior buckets over points 1..n-2
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            ax, ay = x[keep[-1]], y[keep[-1]]
+            area = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            keep.append(lo + int(area.argmax()))
+        keep.append(n - 1)
+        return pdf.iloc[keep][["event_type", "ts", "event_id", "value"]]
+
+    return (
+        e.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(lttb, schema="event_type string, ts timestamp, event_id long, value double")
+        .orderBy("event_type", "ts", "event_id")
+    )
+
+
+_BM25_TERMS = ("spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "llm_bm25",
+    group="llm_ext",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), stats AS (
+  SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+         CAST(len(list_filter(words, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+         CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf_window
+  FROM docs
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+  FROM stats
+)
+SELECT s.doc_id,
+       round(
+         ln((c.n_docs - c.df_spark + 0.5) / (c.df_spark + 0.5) + 1)
+           * s.tf_spark * ({_BM25_K1} + 1)
+           / (s.tf_spark + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * s.dl / c.avgdl))
+       + ln((c.n_docs - c.df_window + 0.5) / (c.df_window + 0.5) + 1)
+           * s.tf_window * ({_BM25_K1} + 1)
+           / (s.tf_window + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * s.dl / c.avgdl))
+       , 6) AS bm25
+FROM stats s CROSS JOIN corpus c
+ORDER BY bm25 DESC, s.doc_id ASC
+LIMIT 20
+""",
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking for a two-term query — the scoring half
+    of hybrid (lexical + vector) retrieval.  Per-doc term frequencies
+    and lengths come from one narrow pass over the tokenized text;
+    the corpus statistics (N, avgdl, per-term df) aggregate to ONE
+    row that broadcasts back, so the scorer is scan → tiny agg →
+    broadcast → scan-side arithmetic with a global top-20: no
+    shuffle touches the corpus beyond the TakeOrdered.  Okapi
+    parameters k1=1.2, b=0.75 pinned in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stats = d.select(
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(split(text, ' '), x -> x = '{t}')) AS DOUBLE)").alias(
+                f"tf_{t}"
+            )
+            for t in _BM25_TERMS
+        ],
+    )
+    corpus = stats.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1
+        )
+        tf = F.col(f"tf_{t}")
+        part = (
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        stats.join(F.broadcast(corpus))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "llm_inverted_index",
+    group="llm_ext",
+    oracle="""
+WITH postings AS (
+  SELECT DISTINCT t.term, d.doc_id
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:15], ',') AS first_postings
+FROM postings
+GROUP BY term
+ORDER BY term
+""",
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: explode tokens → distinct (term, doc) →
+    per-term document frequency + the first 15 postings (sorted,
+    comma-joined so the oracle hashes a scalar).  The distinct and
+    the groupBy share the term-keyed shuffle; posting lists stay
+    bounded in the RESULT only — the full index at scale is the
+    un-sliced aggregation written out partitioned by term hash, and
+    df is exactly the per-term partial count a query planner uses to
+    order AND-term intersection."""
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select(F.explode(F.split("text", " ")).alias("term"), "doc_id")
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 15), ","
+            ).alias("first_postings"),
+        )
+        .orderBy("term")
+    )
