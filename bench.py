@@ -65,6 +65,20 @@ HEADLINE = [
     "llm_bigram_lm",
     "wl_session_paths",
     "wl_rollup_cascade",
+    # TPC-H completion + data-eng + ts-depth families
+    "wl_q1_pricing_summary",
+    "wl_q9_product_profit",
+    "wl_q13_cust_order_dist",
+    "wl_q21_waiting_supplier",
+    "join_bloom_prune",
+    "wl_scd2_history",
+    "wl_cdc_apply",
+    "agg_cms_freq",
+    "dq_constraints",
+    "ts_counter_reset",
+    "ts_minmax_decimate",
+    "llm_bm25",
+    "llm_inverted_index",
 ]
 
 
