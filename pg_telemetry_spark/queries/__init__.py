@@ -13,6 +13,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     llm,
     llm_ext,
     nulls,
+    patterns,
     relational,
     scalars,
     sources_sinks,

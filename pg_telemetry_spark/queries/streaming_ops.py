@@ -365,3 +365,41 @@ def str_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events bigint, sum_value double",
     )
     return out.filter(F.col("session_start") < F.lit("2024-01-03").cast("timestamp"))
+
+
+@query("str_sliding_window", group="streaming", tier="C")
+def str_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (2-hour window, 1-hour
+    slide): every event contributes to two overlapping windows, so
+    update-mode re-emissions revise both as batches land — the state
+    store carries window-count × key state, which is why the slide
+    ratio (window/slide = state amplification factor) is the scale
+    knob to watch at 100 TB.  Returns the final per-window counts
+    and value sums for day 1-2."""
+    events = _stream_events(spark, sf_dir)
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    batches = _day_batches(events, ["2024-01-01", "2024-01-02"])
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "2 hours", "1 hour"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("bucket"), "n_events", "sum_value"
+            )
+        )
+
+    state: dict = {}
+    for b in batches:
+        h.add_batch(b)
+        for captured in h.run_available(agg(h.stream()), "slide", output_mode="update"):
+            for r in captured:
+                state[r.bucket] = (r.n_events, r.sum_value)
+    return spark.createDataFrame(
+        [(k, *v) for k, v in sorted(state.items())],
+        "bucket timestamp, n_events bigint, sum_value double",
+    )
