@@ -19,6 +19,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     sources_sinks,
     sql_surface,
     streaming_ops,
+    temporal_ext,
     timeseries,
     timeseries_ext,
     tpch_ext,
