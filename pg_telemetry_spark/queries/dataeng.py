@@ -713,3 +713,34 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(array_max(transform(vec, x -> abs({q}))) AS BIGINT)"
         ).alias("qmax_abs"),
     ).orderBy("vec_id")
+
+
+@query(
+    "agg_bitmap_distinct",
+    group="aggs",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates — the mergeable
+    exact alternative to HLL (agg_hll_rollup) when the key domain is
+    dense integers: values bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), each (group,
+    bucket) folds to one bitmap via bitmap_construct_agg, and counts
+    sum across buckets — buckets partition the value space, so the
+    sum is exact.  Unlike count(DISTINCT) the partial state is a
+    fixed-size bitmap instead of a hash set of values, it merges
+    with OR (pre-aggregable into rollup tables), and at 100 TB the
+    shuffle carries |groups|×|buckets| bitmaps, not the raw keys.
+    Oracle: plain count(DISTINCT) — the result must be identical."""
+    e = load_table(spark, sf_dir, "events")
+    partials = e.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return (
+        partials.groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("nd_users"))
+        .orderBy("event_type")
+    )

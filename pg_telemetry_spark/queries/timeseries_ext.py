@@ -377,3 +377,131 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@query(
+    "llm_rrf_fusion",
+    group="llm_ext",
+    tier="B",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), stats AS (
+  SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+         CAST(len(list_filter(words, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+         CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf_window
+  FROM docs
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+  FROM stats
+), lex AS (
+  SELECT s.doc_id,
+         row_number() OVER (ORDER BY round(
+           ln((c.n_docs - c.df_spark + 0.5) / (c.df_spark + 0.5) + 1)
+             * s.tf_spark * 2.2
+             / (s.tf_spark + 1.2 * (0.25 + 0.75 * s.dl / c.avgdl))
+         + ln((c.n_docs - c.df_window + 0.5) / (c.df_window + 0.5) + 1)
+             * s.tf_window * 2.2
+             / (s.tf_window + 1.2 * (0.25 + 0.75 * s.dl / c.avgdl)), 6) DESC,
+           s.doc_id ASC) AS lex_rank
+  FROM stats s CROSS JOIN corpus c
+), vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), probe AS (
+  SELECT v AS pv FROM vecs WHERE vec_id = 0
+), vec AS (
+  SELECT d.doc_id,
+         row_number() OVER (ORDER BY round(list_dot_product(p.pv, vv.v), 6) DESC,
+                            d.doc_id ASC) AS vec_rank
+  FROM documents d
+  JOIN vecs vv ON vv.vec_id = d.doc_id
+  CROSS JOIN probe p
+)
+SELECT l.doc_id,
+       CAST(l.lex_rank AS BIGINT) AS lex_rank,
+       CAST(v.vec_rank AS BIGINT) AS vec_rank,
+       round(1.0 / (60 + l.lex_rank) + 1.0 / (60 + v.vec_rank), 9) AS rrf
+FROM lex l JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, l.doc_id ASC
+LIMIT 15
+""",
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (RRF, k=60): the BM25 lexical
+    ranking and the embedding-cosine ranking over the same corpus
+    fuse by reciprocal rank — the standard way to combine
+    incomparable score scales without calibration.  Both rankings
+    are global windows over corpus-sized frames (each already
+    reduced from the raw data by broadcast-joined statistics), the
+    fusion is a doc_id equi-join of two slim (doc_id, rank) frames,
+    and the top-15 is a TakeOrdered.  Ranks are taken on round-6
+    scores with doc_id tie-breaks so both engines rank identically
+    (the same discipline llm_cosine_topk pins)."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    words = F.split("text", " ")
+    stats = d.select(
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(split(text, ' '), x -> x = '{t}')) AS DOUBLE)").alias(
+                f"tf_{t}"
+            )
+            for t in _BM25_TERMS
+        ],
+    )
+    corpus = stats.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1
+        )
+        tf = F.col(f"tf_{t}")
+        part = (
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    w_lex = Window.orderBy(F.round(score, 6).desc(), F.col("doc_id").asc())
+    lex = (
+        stats.join(F.broadcast(corpus))
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+
+    as_double = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    vecs = emb.select("vec_id", as_double.alias("v"))
+    probe = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    dot = F.expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+    w_vec = Window.orderBy(F.round(dot, 6).desc(), F.col("doc_id").asc())
+    vec = (
+        d.select("doc_id")
+        .join(vecs, F.col("doc_id") == vecs.vec_id)
+        .join(F.broadcast(probe))
+        .select("doc_id", F.row_number().over(w_vec).alias("vec_rank"))
+    )
+
+    rrf = 1.0 / (60 + F.col("lex_rank")) + 1.0 / (60 + F.col("vec_rank"))
+    return (
+        lex.join(vec, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            F.round(rrf, 9).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
