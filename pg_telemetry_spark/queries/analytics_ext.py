@@ -1268,3 +1268,152 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@query(
+    "wl_ab_test_stats",
+    group="workload",
+    oracle=f"""
+WITH assigned AS (
+  SELECT event_type, value,
+         CASE WHEN (instr('0123456789abcdef',
+                          substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM {EVENTS_V} e
+), stats AS (
+  SELECT event_type, variant, count(*) AS n, avg(value) AS mean_v,
+         var_samp(value) AS var_v
+  FROM assigned GROUP BY event_type, variant
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.mean_v, 6) AS mean_a, round(b.mean_v, 6) AS mean_b,
+       round((a.mean_v - b.mean_v)
+             / sqrt(a.var_v / a.n + b.var_v / b.n), 4) AS welch_z
+FROM stats a JOIN stats b
+  ON a.event_type = b.event_type AND a.variant = 'A' AND b.variant = 'B'
+ORDER BY a.event_type
+""",
+)
+def wl_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assign to variants by the md5
+    hash of their stable id (deterministic, engine-portable — the
+    production property: a user keeps their variant across sessions,
+    engines, and reprocessing), then per-metric Welch z-scores
+    compare the arms.  One aggregation computes both arms' moments;
+    the self-join that pairs A with B is over a 10-row frame.  The
+    z-scores land near 0 on the uniform fixture — the SHAPE
+    (deterministic assignment + single-pass moments + paired
+    readout) is the operator."""
+    e = _events(spark, sf_dir)
+    hexd = "0123456789abcdef"
+    variant = F.when(
+        (F.expr(f"instr('{hexd}', substring(md5(CAST(user_id AS STRING)), 1, 1))") - 1)
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    stats = (
+        e.select("event_type", "value", variant.alias("variant"))
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean_v"),
+            F.var_samp("value").alias("var_v"),
+        )
+    )
+    a = stats.filter(F.col("variant") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean_v").alias("mean_a_raw"),
+        F.col("var_v").alias("var_a"),
+    )
+    b = stats.filter(F.col("variant") == "B").select(
+        F.col("event_type").alias("b_event_type"),
+        F.col("n").alias("n_b"),
+        F.col("mean_v").alias("mean_b_raw"),
+        F.col("var_v").alias("var_b"),
+    )
+    z = (F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return (
+        a.join(b, a.event_type == b.b_event_type)
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("mean_a_raw", 6).alias("mean_a"),
+            F.round("mean_b_raw", 6).alias("mean_b"),
+            F.round(z, 4).alias("welch_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "wl_mad_anomaly",
+    group="workload",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_v
+  FROM {EVENTS_V} e GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, m.median_v,
+         quantile_cont(abs(e.value - m.median_v), 0.5) AS mad_v
+  FROM {EVENTS_V} e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type, m.median_v
+)
+SELECT e.event_type,
+       round(d.median_v, 6) AS median_v,
+       round(d.mad_v, 6) AS mad_v,
+       CAST(sum(CASE WHEN abs(e.value - d.median_v)
+                          > 3 * 1.4826 * d.mad_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM {EVENTS_V} e JOIN mad d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.median_v, d.mad_v
+ORDER BY e.event_type
+""",
+)
+def wl_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives the very outliers it hunts (mean/stddev
+    z-scores get dragged by the anomaly; medians don't).  Three
+    passes, each against a broadcast of the previous 5-row result:
+    per-series median, then MAD (median of absolute deviations),
+    then the 3σ-equivalent count using the 1.4826 normal-consistency
+    factor.  At 100 TB the exact medians come from the same sorted
+    per-group state as any exact percentile; the streaming variant
+    would swap in approx_percentile."""
+    e = _events(spark, sf_dir)
+    med = e.groupBy(F.col("event_type").alias("m_event_type")).agg(
+        F.percentile("value", F.lit(0.5)).alias("median_v")
+    )
+    mad = (
+        e.join(F.broadcast(med), e.event_type == F.col("m_event_type"))
+        .groupBy(F.col("event_type").alias("d_event_type"), "median_v")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("median_v")), F.lit(0.5)).alias(
+                "mad_v"
+            )
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), e.event_type == F.col("d_event_type"))
+        .groupBy("event_type", "median_v", "mad_v")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("median_v"))
+                    > 3 * 1.4826 * F.col("mad_v")
+                ).cast("bigint")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("median_v", 6).alias("median_v"),
+            F.round("mad_v", 6).alias("mad_v"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
