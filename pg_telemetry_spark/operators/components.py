@@ -197,8 +197,15 @@ def _connected_components_star_impl(
     member_labels = cur.select(
         F.greatest("u", "v").alias("id"), F.least("u", "v").alias("comp")
     ).groupBy("id").agg(F.min("comp").alias("comp"))
-    und.unpersist()
-    return (
+    # Materialize HERE (eager checkpoint) so the nodes-distinct,
+    # group-by, and label join all run under the iterative shuffle
+    # sizing — deferring them hands tiny frames to the caller's
+    # (possibly 200-partition) conf and the caller's collect pays it.
+    out = (
         nodes.join(member_labels, "id", "left")
         .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+        .localCheckpoint(eager=True)
     )
+    und.unpersist()
+    nodes.unpersist()
+    return out

@@ -81,10 +81,17 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Verified near-dup pair set over the injected corpus, shared by
     llm_dedup_near (emits it) and llm_dedup_cc (clusters it)."""
+    # coalesce(8): the verified pair set is ~|dups| rows but its last
+    # shuffle runs at the session's partition conf — on a plain
+    # 200-partition session every downstream consumer (emit, both CC
+    # variants, the cluster join) would launch 200 near-empty tasks
+    # per scan of this cache
     return _shared(
         spark,
         ("near_dup_pairs", sf_dir, threshold),
-        lambda: near_duplicates(_near_dup_corpus(spark, sf_dir), threshold=threshold),
+        lambda: near_duplicates(
+            _near_dup_corpus(spark, sf_dir), threshold=threshold
+        ).coalesce(8),
     )
 
 
