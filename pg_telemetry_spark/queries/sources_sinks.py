@@ -156,3 +156,149 @@ def src_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("sum_value"),
         F.countDistinct("partition").alias("n_partitions"),
     )
+
+
+@query(
+    "src_schema_evolution",
+    group="sources",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(n_comment_len) AS BIGINT) AS n_with_new_col
+FROM (
+  SELECT n_regionkey, NULL AS n_comment_len FROM nation WHERE n_nationkey < 10
+  UNION ALL
+  SELECT n_regionkey, length(n_name) AS n_comment_len
+  FROM nation WHERE n_nationkey >= 10
+) evolved
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old batch written
+    without a column and a new batch WITH it land in one dataset;
+    `mergeSchema` reconciles the footers and the old rows surface the
+    added column as NULL — the additive-evolution contract every
+    long-lived lakehouse table depends on (at 100 TB you never
+    rewrite history to add a column; you merge schemas at read and
+    prune per-file).  The oracle models the same union-with-missing-
+    column semantics."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pgts_evo_")
+    n = load_table(spark, sf_dir, "nation")
+    old = n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_regionkey")
+    new = n.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_regionkey", F.length("n_name").cast("int").alias("n_comment_len")
+    )
+    old.write.mode("overwrite").parquet(f"{tmp}/batch=0")
+    new.write.mode("overwrite").parquet(f"{tmp}/batch=1")
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp}/batch=0", f"{tmp}/batch=1"
+    )
+    return (
+        evolved.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("n_comment_len").alias("n_with_new_col"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "snk_dynamic_overwrite",
+    group="sources",
+    oracle="""
+SELECT r_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(CASE WHEN src = 'v2' THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+FROM (
+  SELECT n_nationkey, n_regionkey AS r_regionkey, 'v1' AS src
+  FROM nation WHERE n_regionkey <> 2
+  UNION ALL
+  SELECT n_nationkey, n_regionkey, 'v2'
+  FROM nation WHERE n_regionkey = 2
+) final
+GROUP BY r_regionkey
+ORDER BY r_regionkey
+""",
+)
+def snk_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill
+    primitive: rewriting ONE partition's data replaces only the
+    partitions present in the incoming frame and leaves every other
+    partition untouched (static overwrite mode would truncate the
+    whole table).  The op writes all regions as v1, overwrites only
+    region 2 with v2 under `partitionOverwriteMode=dynamic`, and
+    reads the table back; exactly region 2 must carry v2 rows.  At
+    100 TB this is how every late-arriving day is repaired without
+    touching its neighbors."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pgts_dyn_")
+    path = f"{tmp}/nations"
+    n = load_table(spark, sf_dir, "nation")
+    v1 = n.select("n_nationkey", "n_regionkey", F.lit("v1").alias("src"))
+    v1.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+    v2 = (
+        n.filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey", "n_regionkey", F.lit("v2").alias("src"))
+    )
+    (
+        v2.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("n_regionkey")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("n_regionkey").cast("int").alias("r_regionkey"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum((F.col("src") == "v2").cast("bigint")).alias("n_v2"),
+        )
+        .orderBy("r_regionkey")
+    )
+
+
+@query("src_csv_corrupt", group="sources", tier="C")
+def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling, the ingestion reality check: a CSV
+    batch with rows that don't parse (wrong arity, bad types) read in
+    PERMISSIVE mode with a `_corrupt_record` column — good rows parse,
+    bad rows land intact in the quarantine column for a dead-letter
+    sink instead of failing the job (FAILFAST) or vanishing
+    (DROPMALFORMED).  Returns per-disposition counts plus the parsed
+    sum so the good-row path is value-checked; tier C because the
+    corrupt-row capture itself has no SQL-oracle equivalent."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pgts_csv_")
+    path = f"{tmp}/raw.csv"
+    with open(path, "w") as f:
+        f.write("id,name,score\n")
+        for i in range(50):
+            f.write(f"{i},row{i},{i * 2}\n")
+        f.write("51,missing_score\n")          # wrong arity
+        f.write("52,bad_type,notanumber\n")    # unparseable int
+        f.write("53,ok,106\n")
+    schema = "id INT, name STRING, score INT, _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-21610: corrupt-record queries need the full row materialized
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    return spark.createDataFrame(
+        [
+            ("good", good.count(), int(good.agg(F.sum("score")).collect()[0][0])),
+            ("quarantined", bad.count(), 0),
+        ],
+        "disposition string, n_rows bigint, score_sum bigint",
+    )
