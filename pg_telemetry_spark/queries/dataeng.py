@@ -201,7 +201,7 @@ def _bloom_positions(col: str) -> list:
     group="joins",
     oracle="""
 SELECT count(*) AS n_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0), 2) AS revenue
 FROM lineitem l
 WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
                        WHERE o_orderpriority = '1-URGENT'
@@ -256,9 +256,13 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
         )
     )
 

@@ -464,7 +464,7 @@ def wl_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_q17_small_qty_revenue",
     group="workload",
     oracle="""
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(coalesce(sum(l.l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#5'
@@ -493,7 +493,11 @@ def wl_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -501,7 +505,7 @@ def wl_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_q19_disjunctive_revenue",
     group="workload",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0), 2) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -540,9 +544,15 @@ def wl_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # coalesce: a disjunction that matches nothing at some SF
+            # must yield 0.0, not a NULL double (harness-hostile)
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue")
         )
     )
 
