@@ -1417,3 +1417,101 @@ def wl_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_grouping_id",
+    group="aggs",
+    oracle="""
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() / grouping_id() metadata over a CUBE — the ONLY
+    sound way to tell a subtotal row from a natural NULL in the
+    grouped column (coalescing to '(all)' without the grouping bit
+    silently merges the two).  Both engines assign identical bit
+    positions (leftmost column = most significant bit), which this
+    query pins.  Zero extra cost at scale: the bits ride the same
+    partial-aggregate expansion the cube already does."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "gid",
+            "n_orders",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@query(
+    "wl_pareto_8020",
+    group="workload",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS running,
+         sum(revenue) OVER () AS total,
+         row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rnk
+  FROM rev
+)
+SELECT CAST(max(rnk) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN running < 0.8 * total THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS n_top_for_80pct,
+       round((sum(CASE WHEN running < 0.8 * total THEN 1 ELSE 0 END) + 1.0)
+             / max(rnk), 4) AS top_share_of_base
+FROM ranked
+""",
+)
+def wl_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) readout: how many top customers
+    cover 80% of revenue, and what share of the base they are.  A
+    per-customer aggregate, one ordered running-sum window, and a
+    3-column scalar summary; the running share is a sequential fold
+    in rank order so both engines cross the 0.8 boundary on the
+    identical partial sum.  The global window is |customers|-sized —
+    fine for a dimension; at raw-fact scale the same readout comes
+    off the pre-aggregated revenue rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    w_run = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rnk = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    ranked = rev.select(
+        F.sum("revenue").over(w_run).alias("running"),
+        F.sum("revenue").over(w_all).alias("total"),
+        F.row_number().over(w_rnk).alias("rnk"),
+    )
+    below = F.sum((F.col("running") < 0.8 * F.col("total")).cast("bigint"))
+    return ranked.agg(
+        F.max("rnk").alias("n_customers"),
+        (below + 1).alias("n_top_for_80pct"),
+        F.round((below + 1.0) / F.max("rnk"), 4).alias("top_share_of_base"),
+    )
