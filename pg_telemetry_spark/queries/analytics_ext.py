@@ -434,7 +434,8 @@ WITH sized AS (
   FROM sized
 )
 SELECT lang, coalesce(bin_id, 0) AS bin_id,
-       count(*) AS n_docs, sum(n_tok) AS bin_tokens, min(doc_id) AS first_doc
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
 FROM packed
 GROUP BY lang, coalesce(bin_id, 0)
 """,
@@ -1022,9 +1023,9 @@ WITH base AS (
   FROM base
 ), sid AS (
   SELECT user_id, event_id, ts, event_type,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM tagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -126,8 +126,9 @@ WITH tagged AS (
               THEN 0 ELSE 1 END AS is_new
   FROM {EVENTS_V} e
 ), sid AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
   FROM tagged
 )
 SELECT user_id, session_id,
