@@ -5,14 +5,26 @@ the collector domain has fixed schemas per stat view, and explicit
 schemas keep scans honest: ReadSchema in ``explain`` shows exactly the
 pruned columns, and no inference job runs at 100 TB).
 
-``events`` needs the nanos workaround: ``ts`` is Parquet
-TIMESTAMP(NANOS); with ``spark.sql.legacy.parquet.nanosAsLong=true``
-it arrives as a nanosecond ``long`` and is converted here via
-``timestamp_micros(ts div 1000)`` — verified to equal DuckDB's native
-microsecond read of the same column.  All event timestamps are cast to
-``timestamp_ntz`` to match the star-schema tables, and an
-``event_date`` column is derived for partition-pruned warehouse
-layouts.
+``events.ts`` is UNIT-AWARE: real-world parquet arrives as
+TIMESTAMP(MICROS), TIMESTAMP(MILLIS), TIMESTAMP(NANOS), or INT96
+depending on the writer, and the fixture generator has shipped both
+NANOS (rounds 1-3) and MICROS (round 4+).  The loader inspects the
+parquet footer once per path (driver-side, cached) and branches:
+
+- MICROS / MILLIS / INT96 — Spark reads the logical type natively as
+  ``timestamp_ntz``; no conversion, and timestamp predicates push all
+  the way to row-group stats.
+- NANOS — Spark 4 refuses the type by default; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a
+  nanosecond ``long`` and is converted via ``timestamp_micros(ts div
+  1000)`` — verified to equal DuckDB's native read of the same column.
+
+Both paths land on ``timestamp_ntz`` so downstream queries are
+unit-agnostic.  ``tests/test_fixture_ingest.py`` pins this seam
+against DuckDB for every sf dir present AND for synthetically written
+nanos/micros files, so a fixture-unit change can never silently skew
+results again (round-4 postmortem: a hard-coded ÷1000 turned 30 days
+of MICROS events into 43 minutes of 1970).
 """
 
 from __future__ import annotations
@@ -106,11 +118,12 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", _NTZ),
         ]
     ),
-    # events.ts arrives as long (nanos) under nanosAsLong — converted below.
+    # Logical schema — ts is timestamp_ntz after unit-aware loading.
+    # (The NANOS physical variant is read with _EVENTS_RAW_NANOS below.)
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", _NTZ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -171,14 +184,77 @@ def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
 
 
+#: Raw read schema for the TIMESTAMP(NANOS) physical variant: under
+#: spark.sql.legacy.parquet.nanosAsLong the column arrives as int64.
+_EVENTS_RAW_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: path -> 'ns' | 'us' | 'ms' | 's' (footer inspected once per path).
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Timestamp unit of ``ts`` in the parquet file(s) at ``path``.
+
+    One driver-side footer read (cached) — never a Spark job.  INT96
+    columns (legacy Hive/Impala writers) decode through pyarrow as
+    nanoseconds but Spark reads them natively as timestamps, so they
+    are reported as 'us' (the native-read branch).  Directories are
+    probed via their first data file — a mixed-unit directory is a
+    writer bug upstream of us.
+    """
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is not None:
+        return unit
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                probe = os.path.join(path, entry)
+                break
+    pf = pq.ParquetFile(probe)
+    idx = pf.schema_arrow.get_field_index("ts")
+    if pf.schema.column(idx).physical_type == "INT96":
+        unit = "us"  # Spark decodes INT96 natively
+    else:
+        unit = pf.schema_arrow.field(idx).type.unit
+    _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
+def _read_events_raw(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
+    """Events scan WITHOUT the ts conversion applied.
+
+    Returns ``(df, unit)``: for 'ns' the ``ts`` column is still the
+    raw int64 (filterable with pushdown in the nanos domain); for
+    every other unit it is already a native ``timestamp_ntz``.
+    """
+    unit = events_ts_unit(path)
+    if unit == "ns":
+        return spark.read.schema(_EVENTS_RAW_NANOS).parquet(path), unit
+    return spark.read.schema(SCHEMAS["events"]).parquet(path), unit
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ),
-        )
-    return df
+        df, unit = _read_events_raw(spark, f"{sf_dir}/events.parquet")
+        if unit == "ns":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ),
+            )
+        return df
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_table(
@@ -207,32 +283,47 @@ def load_events_sliced(
 ) -> DataFrame:
     """Events time-slice with REAL predicate pushdown.
 
-    A filter on the converted timestamp (``timestamp_micros(ts div
-    1000) >= X``) is an expression over the raw column, so Parquet
-    row-group/page pruning never sees it — verified: only
-    ``IsNotNull(ts)`` reaches the scan.  This helper rewrites the
-    bounds into nanosecond-long space and applies them to the RAW
-    ``ts`` column before conversion, so they push down as plain long
-    comparisons and min/max row-group statistics prune the scan — the
-    difference between reading one hour and scanning everything at
-    100 TB.  (``lo``/``hi`` are 'YYYY-MM-DD[ HH:MM:SS]' UTC strings,
-    half-open interval.)
+    Bounds must be applied in the SAME domain as the stored column or
+    Parquet row-group/page pruning never fires (and in the worst case
+    — wrong unit — the filter silently selects nothing).  Unit-aware:
+
+    - native timestamp units (us/ms): ``ts`` is a real timestamp
+      column, so plain timestamp literals push down to row-group
+      min/max stats directly;
+    - NANOS (read as raw int64 under nanosAsLong): bounds are rewritten
+      into nanosecond-long space and applied BEFORE the conversion, so
+      they push down as long comparisons.
+
+    Either way this is the difference between reading one hour and
+    scanning everything at 100 TB.  (``lo``/``hi`` are
+    'YYYY-MM-DD[ HH:MM:SS]' UTC strings, half-open interval.)
     """
     import datetime as dt
 
     prepare_session(spark)
-    df = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
+    df, unit = _read_events_raw(spark, f"{sf_dir}/events.parquet")
 
-    def nanos(s: str) -> int:
+    def parse(s: str) -> dt.datetime:
         fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
-        epoch = dt.datetime.strptime(s, fmt).replace(tzinfo=dt.timezone.utc).timestamp()
-        return int(epoch) * 1_000_000_000
+        return dt.datetime.strptime(s, fmt)
+
+    if unit == "ns":
+
+        def nanos(s: str) -> int:
+            epoch = parse(s).replace(tzinfo=dt.timezone.utc).timestamp()
+            return int(epoch) * 1_000_000_000
+
+        if lo is not None:
+            df = df.filter(F.col("ts") >= nanos(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") < nanos(hi))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ))
 
     if lo is not None:
-        df = df.filter(F.col("ts") >= nanos(lo))
+        df = df.filter(F.col("ts") >= F.lit(parse(lo)).cast(_NTZ))
     if hi is not None:
-        df = df.filter(F.col("ts") < nanos(hi))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ))
+        df = df.filter(F.col("ts") < F.lit(parse(hi)).cast(_NTZ))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
