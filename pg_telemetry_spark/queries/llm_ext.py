@@ -63,18 +63,30 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic so accuracy is not the point — the distributed
     train-profile/score/argmax shape is."""
     d = load_table(spark, sf_dir, "documents")
-    bigrams = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 1),
-                    lambda i: F.substring(F.col("text"), i, 2),
+
+    def build_bigrams() -> DataFrame:
+        # The fixture lands in ONE parquet row group, so without a
+        # spread the explode (corpus x chars-per-doc) runs on a single
+        # core; shuffling the tiny raw text first costs ~nothing and
+        # parallelizes the expensive leg.  At warehouse scale the scan
+        # is already many-split and AQE elides the extra exchange.
+        return d.repartition(spark.sparkContext.defaultParallelism).select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("text") - 1),
+                        lambda i: F.substring(F.col("text"), i, 2),
+                    )
                 )
-            )
-        ).alias("bg"),
-    )
+            ).alias("bg"),
+        )
+
+    # The explode is the expensive leg (corpus x chars-per-doc rows) and
+    # feeds BOTH the profile build and the scoring join — persist so it
+    # is computed once per session, not once per consumer.
+    bigrams = _shared(spark, ("langid_bigrams", sf_dir), build_bigrams)
     prof_w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg").asc())
     top_profile = (
         bigrams.groupBy("lang", "bg")
@@ -84,8 +96,10 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("profile_lang"), "bg")
     )
     scores = (
+        # no .distinct() needed: array_distinct in the explode already
+        # makes (doc_id, bg) unique, so the oracle's DISTINCT is a no-op
+        # here and eliding it saves a full shuffle of the exploded rows.
         bigrams.select("doc_id", "bg")
-        .distinct()
         .join(F.broadcast(top_profile), "bg")
         .groupBy("doc_id", "profile_lang")
         .agg(F.count("*").alias("overlap"))

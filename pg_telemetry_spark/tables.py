@@ -182,6 +182,9 @@ def clear_table_cache() -> None:
         except Exception:
             pass  # session already stopped
     _TABLE_CACHE.clear()
+    # A fixture regenerated in-process at the same path may have a
+    # different timestamp unit — forget the probed units too.
+    _TS_UNIT_CACHE.clear()
 
 
 #: Raw read schema for the TIMESTAMP(NANOS) physical variant: under
@@ -218,12 +221,17 @@ def events_ts_unit(path: str) -> str:
 
     probe = path
     if os.path.isdir(path):
+        probe = None
         for entry in sorted(os.listdir(path)):
             if entry.endswith(".parquet"):
                 probe = os.path.join(path, entry)
                 break
+        if probe is None:
+            raise FileNotFoundError(f"no .parquet data file under directory {path!r}")
     pf = pq.ParquetFile(probe)
     idx = pf.schema_arrow.get_field_index("ts")
+    if idx < 0:
+        raise ValueError(f"parquet file {probe!r} has no 'ts' column; cannot probe unit")
     if pf.schema.column(idx).physical_type == "INT96":
         unit = "us"  # Spark decodes INT96 natively
     else:
@@ -319,10 +327,15 @@ def load_events_sliced(
             df = df.filter(F.col("ts") < nanos(hi))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast(_NTZ))
 
+    # String -> timestamp_ntz cast parses the wall-clock text directly,
+    # independent of driver OS timezone.  (F.lit(naive datetime) would
+    # serialize via the driver tz and silently shift bounds off-UTC.)
     if lo is not None:
-        df = df.filter(F.col("ts") >= F.lit(parse(lo)).cast(_NTZ))
+        parse(lo)  # validate format before it reaches the plan
+        df = df.filter(F.col("ts") >= F.lit(lo).cast(_NTZ))
     if hi is not None:
-        df = df.filter(F.col("ts") < F.lit(parse(hi)).cast(_NTZ))
+        parse(hi)
+        df = df.filter(F.col("ts") < F.lit(hi).cast(_NTZ))
     return df
 
 

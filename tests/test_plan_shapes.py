@@ -40,6 +40,12 @@ _plan = _formatted
 
 
 def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    # Same cold-path discipline as test_column_pruning_in_read_schema:
+    # a cached events table from an earlier test would be substituted
+    # for the scan by the CacheManager, hiding PushedFilters.
+    from pg_telemetry_spark.tables import clear_table_cache
+
+    clear_table_cache()
     df = _Q["filt_ts_range"].fn(spark, sf_dir)
     plan = _formatted(df)
     assert "PushedFilters: [" in plan
