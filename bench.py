@@ -79,6 +79,10 @@ HEADLINE = [
     "ts_minmax_decimate",
     "llm_bm25",
     "llm_inverted_index",
+    # round-6: inverted-index set-similarity (crossJoin replaced by
+    # posting equi-joins — in the headline list so PLANS.md audits them)
+    "llm_jaccard_pairs",
+    "llm_containment",
 ]
 
 

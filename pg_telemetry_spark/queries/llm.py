@@ -73,7 +73,15 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
             ).alias("text"),
         )
-        return d.unionByName(mutated)
+        # The fixture is a single parquet row group, so without a
+        # spread every consumer's shingle/token explode (corpus x
+        # chars-per-doc, then 64 hashes per shingle) runs on the union
+        # branches' 2 tasks.  Shuffling the raw text once (~MBs) before
+        # the persist parallelizes the whole dedup family; a
+        # many-split warehouse scan wouldn't need it.
+        return d.unionByName(mutated).repartition(
+            spark.sparkContext.defaultParallelism
+        )
 
     return _shared(spark, ("near_dup_corpus", sf_dir), build)
 
