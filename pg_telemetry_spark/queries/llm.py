@@ -51,6 +51,18 @@ def _shared(spark: SparkSession, key_suffix: tuple, build) -> DataFrame:
     return df
 
 
+def clear_shared_cache() -> None:
+    """Unpersist and forget every shared intermediate (test hook —
+    plan audits need the cold plan, and a persisted subtree both hides
+    scan evidence and can change the exchange count)."""
+    for df in _SHARED.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SHARED.clear()
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = d.filter(F.col("doc_id") % 7 == 0).select(

@@ -62,7 +62,14 @@ def _exchanges(df) -> int:
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(name, spark, sf_dir):
+    # audit the canonical COLD plan: both the fixture-table cache and
+    # the shared-intermediate cache substitute InMemoryRelations that
+    # change the exchange count (a persisted subtree loses the reused
+    # exchange the cold plan shares between its consumers)
+    from pg_telemetry_spark.queries.llm import clear_shared_cache
+
     clear_table_cache()
+    clear_shared_cache()
     n = _exchanges(_ALL[name].fn(spark, sf_dir))
     assert n <= BUDGETS[name], (
         f"{name}: {n} exchanges in plan, budget is {BUDGETS[name]} — "
