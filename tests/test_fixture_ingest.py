@@ -95,7 +95,11 @@ def test_ondisk_fixture_matches_duckdb(spark, sf):
 def _write_synthetic_events(tmp_path, unit: str) -> str:
     """Write an events.parquet with ts physically stored at ``unit``.
 
-    90 rows across 3 calendar days with non-zero sub-second parts (ms
+    ``unit='int96'`` writes the legacy Hive/Impala INT96 encoding
+    (``use_deprecated_int96_timestamps``) — physically nanoseconds,
+    but Spark decodes it natively, so the probe reports 'us'.
+
+    90 rows across 4 calendar days with non-zero sub-second parts (ms
     for every unit; extra us for us/ns) so a wrong-unit read cannot
     accidentally produce the right answer.
     """
@@ -103,13 +107,14 @@ def _write_synthetic_events(tmp_path, unit: str) -> str:
     rows_ts = []
     for i in range(90):
         t = base + dt.timedelta(hours=i, milliseconds=i * 7)
-        if unit in ("us", "ns"):
+        if unit in ("us", "ns", "int96"):
             t += dt.timedelta(microseconds=i * 11)
         rows_ts.append(t)
+    arrow_unit = "ns" if unit == "int96" else unit
     table = pa.table(
         {
             "event_id": pa.array(range(90), pa.int64()),
-            "ts": pa.array(rows_ts, pa.timestamp(unit)),
+            "ts": pa.array(rows_ts, pa.timestamp(arrow_unit)),
             "user_id": pa.array([i % 7 for i in range(90)], pa.int64()),
             "event_type": pa.array([["click", "view", "scroll"][i % 3] for i in range(90)]),
             "value": pa.array([i * 0.5 for i in range(90)], pa.float64()),
@@ -118,15 +123,20 @@ def _write_synthetic_events(tmp_path, unit: str) -> str:
     )
     sf_dir = tmp_path / f"synth_{unit}"
     sf_dir.mkdir()
-    pq.write_table(table, sf_dir / "events.parquet")
+    pq.write_table(
+        table,
+        sf_dir / "events.parquet",
+        use_deprecated_int96_timestamps=(unit == "int96"),
+    )
     return str(sf_dir)
 
 
-@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+@pytest.mark.parametrize("unit", ["ns", "us", "ms", "int96"])
 def test_synthetic_unit_roundtrip_matches_duckdb(spark, tmp_path, unit):
     """The loader branches correctly for every unit a writer can ship."""
     sf = _write_synthetic_events(tmp_path, unit)
-    assert events_ts_unit(f"{sf}/events.parquet") == unit
+    probed = events_ts_unit(f"{sf}/events.parquet")
+    assert probed == ("us" if unit == "int96" else unit)
     got = _spark_profile(load_table(spark, sf, "events", cache=False))
     want = _duckdb_profile(f"{sf}/events.parquet")
     assert got == want, f"unit={unit}: spark {got} != duckdb {want}"
