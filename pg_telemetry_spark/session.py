@@ -41,6 +41,22 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+#: Engine join/shuffle sizing for HOST sessions (the driver's plain
+#: session otherwise runs Spark defaults): 32 MB broadcast threshold
+#: keeps every fixture dim (and any real dim table of that order) on
+#: the broadcast side — the plans audited in PLANS.md assume it — and
+#: 200 default shuffle partitions launch near-empty tasks per shuffle
+#: at fixture scale.  Applied ONLY while the session still carries the
+#: Spark built-in default, so a deliberate site config (or a
+#: ``sized_shuffle`` cap in effect when ``prepare_session`` re-runs
+#: mid-operator) is never stomped.  At cluster scale the initial
+#: partition count is sized to the cluster and AQE coalesces down.
+SIZING_CONFS: dict[str, tuple[str, str]] = {
+    # key: (spark built-in default, engine value)
+    "spark.sql.autoBroadcastJoinThreshold": ("10485760b", str(32 * 1024 * 1024)),
+    "spark.sql.shuffle.partitions": ("200", "32"),
+}
+
 
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (idempotent)."""
@@ -51,6 +67,12 @@ def prepare_session(spark: SparkSession) -> SparkSession:
             # A conf locked by the host (static conf) — leave as-is;
             # every conf in RUNTIME_CONFS is runtime-settable on stock
             # Spark 4, so this is purely defensive.
+            pass
+    for key, (default, value) in SIZING_CONFS.items():
+        try:
+            if spark.conf.get(key) == default:
+                spark.conf.set(key, value)
+        except Exception:
             pass
     return spark
 
