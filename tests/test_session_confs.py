@@ -1,0 +1,46 @@
+"""prepare_session conf discipline.
+
+Required confs are always (re)applied; SIZING confs are defaults-only
+— prepare_session runs inside every load_table call, so if it stomped
+a non-default value it would break sized_shuffle's temporary cap
+mid-operator and override deliberate site configs.
+"""
+
+from __future__ import annotations
+
+from pg_telemetry_spark.session import SIZING_CONFS, prepare_session, sized_shuffle
+
+_SHUF = "spark.sql.shuffle.partitions"
+
+
+def test_required_confs_always_reapplied(spark):
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    prepare_session(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_sizing_conf_applied_over_spark_default(spark):
+    old = spark.conf.get(_SHUF)
+    try:
+        spark.conf.set(_SHUF, SIZING_CONFS[_SHUF][0])  # the Spark default
+        prepare_session(spark)
+        assert spark.conf.get(_SHUF) == SIZING_CONFS[_SHUF][1]
+    finally:
+        spark.conf.set(_SHUF, old)
+
+
+def test_sizing_conf_respects_non_default_value(spark):
+    old = spark.conf.get(_SHUF)
+    try:
+        spark.conf.set(_SHUF, "17")  # deliberate site/operator value
+        prepare_session(spark)
+        assert spark.conf.get(_SHUF) == "17"
+    finally:
+        spark.conf.set(_SHUF, old)
+
+
+def test_sized_shuffle_cap_survives_prepare_session(spark):
+    with sized_shuffle(spark, 4):
+        prepare_session(spark)  # load_table inside an operator loop
+        assert spark.conf.get(_SHUF) == "4"
+    assert spark.conf.get(_SHUF) != "4"
