@@ -191,3 +191,89 @@ def test_stream_stream_join_matches_batch_join(spark, sf_dir):
     )
     expected = {(r.user_id, r.n_matches) for r in batch.collect()}
     assert streamed == expected
+
+
+def test_file_stream_batches_match_static_day_counts(spark, sf_dir):
+    """src_stream_file's checkpointed incremental runs must bill each
+    landed file exactly once: per-batch counts == static day counts."""
+    from pg_telemetry_spark.registry import all_queries
+
+    got = {
+        r.batch: r.n_rows
+        for r in all_queries()["src_stream_file"].fn(spark, sf_dir).collect()
+    }
+    events = _stream_events(spark, sf_dir)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    want = {i: b.count() for i, b in enumerate(_day_batches(events, days))}
+    assert got == want and sum(want.values()) > 0
+
+
+def test_stream_static_join_matches_batch_join(spark, sf_dir):
+    """Stream-static enrichment must equal the same join done batch."""
+    from pg_telemetry_spark.registry import all_queries
+
+    got = {
+        r.cohort: r.n_events
+        for r in all_queries()["str_stream_static"].fn(spark, sf_dir).collect()
+    }
+    events = _stream_events(spark, sf_dir)
+    (day1,) = _day_batches(events, ["2024-01-01"])
+    cohorts = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("cohort_"), (F.col("id") % 5).cast("string")).alias("cohort"),
+    )
+    want = {
+        r.cohort: r.n
+        for r in day1.join(cohorts, "user_id")
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and sum(want.values()) > 0
+
+
+def test_output_modes_ordering_and_window_parity(spark, sf_dir):
+    """append emits only finalized windows, update only changed ones,
+    complete re-emits everything: emission volumes must order
+    append <= update <= complete, and update/complete must both have
+    touched every hourly window present in the batch data."""
+    from pg_telemetry_spark.registry import all_queries
+
+    rows = {r.mode: r for r in all_queries()["str_output_modes"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"append", "update", "complete"}
+    assert (
+        rows["append"].rows_emitted
+        <= rows["update"].rows_emitted
+        <= rows["complete"].rows_emitted
+    )
+    events = _stream_events(spark, sf_dir)
+    two_days = events.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    n_windows = two_days.select(F.date_trunc("hour", "ts")).distinct().count()
+    assert rows["update"].distinct_windows == n_windows
+    assert rows["complete"].distinct_windows == n_windows
+    # append lags by the unfinalized tail but must have emitted most
+    assert 0 < rows["append"].distinct_windows <= n_windows
+
+
+def test_sliding_window_final_state_matches_batch(spark, sf_dir):
+    """The update-mode final state of the 2h/1h sliding agg must equal
+    the same window computed in one batch pass over the same days."""
+    from pg_telemetry_spark.registry import all_queries
+
+    got = {
+        r.bucket: (r.n_events, r.sum_value)
+        for r in all_queries()["str_sliding_window"].fn(spark, sf_dir).collect()
+    }
+    events = _stream_events(spark, sf_dir)
+    two_days = events.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    want = {
+        r.bucket: (r.n_events, r.sum_value)
+        for r in two_days.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("bucket"), "n_events", "sum_value")
+        .collect()
+    }
+    assert got == want and len(want) > 0
