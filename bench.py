@@ -83,6 +83,7 @@ HEADLINE = [
     # posting equi-joins — in the headline list so PLANS.md audits them)
     "llm_jaccard_pairs",
     "llm_containment",
+    "llm_decontaminate",
 ]
 
 

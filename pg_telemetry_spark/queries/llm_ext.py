@@ -520,6 +520,85 @@ def llm_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_decontaminate",
+    group="llm_ext",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 6, 1)),
+             i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 47 = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams
+  WHERE doc_id % 47 <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM grams JOIN bench USING (g)
+  WHERE doc_id % 47 <> 0 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_grams,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_grams, 6)
+           AS contamination
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+""",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of word
+    8-grams that also appear in a held-out eval set (docs with
+    doc_id % 47 == 0 stand in for the benchmark corpus) — the
+    standard pre-training hygiene check that catches eval material
+    embedded in training text, which exact/near dedup misses because
+    the surrounding document differs.
+
+    Scale: explode distinct 8-grams (narrow map), equi-join against
+    the DISTINCT benchmark-gram set on the gram string — at real
+    scale the benchmark side is millions of grams (eval suites), far
+    under broadcast threshold, so the probe is a broadcast semi-join
+    over the corpus scan with no corpus shuffle; per-doc counts are
+    one map-side-combined aggregate.  Flagging/quarantining is a
+    filter on the returned rate, left to the caller (policy, not
+    engine)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    # guard the short-doc case: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]), not empty, so docs under 8 words need an explicit
+    # empty-array branch (mirrors DuckDB's empty range(1, 1))
+    gram_array = F.when(
+        n >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 7),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(gram_array).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 47 == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % 47 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_grams"), 6
+        ).alias("contamination"),
+    )
+
+
 @query("llm_dedup_cc", group="llm_ext", tier="C")
 def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: near-dup pairs -> connected components -> one

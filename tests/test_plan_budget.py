@@ -81,6 +81,7 @@ BUDGETS = {
     "llm_dedup_embed": 3,
     "llm_inverted_index": 3,
     "llm_jaccard_pairs": 3,
+    "llm_decontaminate": 3,
     "wl_dau_wau_mau": 4,
     "llm_dedup_near": 5,
     "llm_tfidf": 5,
