@@ -84,6 +84,7 @@ HEADLINE = [
     "llm_jaccard_pairs",
     "llm_containment",
     "llm_decontaminate",
+    "ts_slo_burn",
 ]
 
 

@@ -505,3 +505,88 @@ def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(15)
     )
+
+
+@query(
+    "ts_slo_burn",
+    group="timeseries",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(user_id % 4 AS INT) AS service,
+         date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events,
+         count(*) FILTER (WHERE event_type = 'error') AS n_errors
+  FROM {EVENTS_V} e
+  GROUP BY 1, 2
+), roll AS (
+  SELECT service, bucket, n_events, n_errors,
+         sum(n_events) OVER w6 AS n_events_6h,
+         sum(n_errors) OVER w6 AS n_errors_6h
+  FROM hourly
+  WINDOW w6 AS (PARTITION BY service
+                ORDER BY CAST(epoch(bucket) AS BIGINT) // 3600
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT service, bucket, n_events, n_errors,
+       round(CAST(n_errors AS DOUBLE) / n_events / 0.25, 6) AS burn_1h,
+       round(CAST(n_errors_6h AS DOUBLE) / n_events_6h / 0.25, 6) AS burn_6h,
+       (round(CAST(n_errors AS DOUBLE) / n_events / 0.25, 6) > 1.0
+        AND round(CAST(n_errors_6h AS DOUBLE) / n_events_6h / 0.25, 6) > 1.0)
+           AS alert
+FROM roll
+""",
+)
+def ts_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO error-budget burn rate — the canonical
+    telemetry alerting query (SRE multiwindow multi-burn): per
+    service, the 1-hour and rolling-6-hour error rates divided by the
+    error budget (25%), alerting only when BOTH windows burn hot —
+    the short window for responsiveness, the long one to suppress
+    blips.
+
+    Scale: one hash aggregate collapses the fact table to hourly
+    per-service partials FIRST; the 6-hour window then runs on the
+    tiny pre-aggregated series (a RANGE frame over epoch-hours, so
+    calendar gaps cannot misalign the window the way a ROWS frame
+    would).  The window partitions by service — at fleet scale that
+    is thousands of independent series, so no single-partition
+    bottleneck; the fact table itself is never re-scanned or
+    re-shuffled for the long window."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            (F.col("user_id") % 4).cast("int").alias("service"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        )
+    )
+    hour_key = F.expr("unix_timestamp(cast(bucket as timestamp)) div 3600")
+    w6 = (
+        Window.partitionBy("service")
+        .orderBy(hour_key)
+        .rangeBetween(-5, Window.currentRow)
+    )
+    rolled = hourly.select(
+        "service",
+        "bucket",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w6).alias("n_events_6h"),
+        F.sum("n_errors").over(w6).alias("n_errors_6h"),
+    )
+    burn_1h = F.round(F.col("n_errors").cast("double") / F.col("n_events") / 0.25, 6)
+    burn_6h = F.round(
+        F.col("n_errors_6h").cast("double") / F.col("n_events_6h") / 0.25, 6
+    )
+    return rolled.select(
+        "service",
+        "bucket",
+        "n_events",
+        "n_errors",
+        burn_1h.alias("burn_1h"),
+        burn_6h.alias("burn_6h"),
+        ((burn_1h > 1.0) & (burn_6h > 1.0)).alias("alert"),
+    )

@@ -61,6 +61,7 @@ BUDGETS = {
     "ts_gapfill": 2,
     "ts_gapfill_interp": 2,
     "ts_counter_reset": 2,
+    "ts_slo_burn": 2,  # hourly pre-agg, then re-key to service for the frame
     "wl_rate_hourly": 2,
     "wl_q18_large_orders": 2,
     "wl_upsert_scd1": 2,
