@@ -147,6 +147,9 @@ def main() -> None:
             "unit": "sec",
             "queries": stream_timings,
             "sf": float(sm.group(1).rstrip(".")) if sm else None,
+            # raw dir so the config stays recoverable from the JSON
+            # even when the env-provided path has no 'sf<N>' segment
+            "sf_dir": stream_sf_dir,
         }
 
     out = {
@@ -155,6 +158,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sf_dir": sf_dir,
     }
     if streaming is not None:
         out["streaming"] = streaming

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pg_telemetry_spark.operators.minhash import near_duplicates
 from pg_telemetry_spark.operators.similarity import as_double, brute_force_topk, dot
 from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.session import app_id, default_parallelism
 from pg_telemetry_spark.tables import load_table
 
 #: Deterministic duplicate injection: every 7th doc re-appears with a
@@ -43,7 +44,7 @@ _SHARED: dict[tuple, DataFrame] = {}
 
 
 def _shared(spark: SparkSession, key_suffix: tuple, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, *key_suffix)
+    key = (app_id(spark), *key_suffix)
     df = _SHARED.get(key)
     if df is None:
         df = build().persist()
@@ -91,9 +92,7 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches' 2 tasks.  Shuffling the raw text once (~MBs) before
         # the persist parallelizes the whole dedup family; a
         # many-split warehouse scan wouldn't need it.
-        return d.unionByName(mutated).repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        return d.unionByName(mutated).repartition(default_parallelism(spark))
 
     return _shared(spark, ("near_dup_corpus", sf_dir), build)
 

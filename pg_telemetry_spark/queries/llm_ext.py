@@ -26,6 +26,7 @@ from pg_telemetry_spark.queries.llm import (
     _shared,
 )
 from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.session import app_id, default_parallelism
 from pg_telemetry_spark.tables import load_table
 
 
@@ -70,7 +71,7 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # core; shuffling the tiny raw text first costs ~nothing and
         # parallelizes the expensive leg.  At warehouse scale the scan
         # is already many-split and AQE elides the extra exchange.
-        return d.repartition(spark.sparkContext.defaultParallelism).select(
+        return d.repartition(default_parallelism(spark)).select(
             "doc_id",
             "lang",
             F.explode(
@@ -421,7 +422,7 @@ def _incr_base_index(spark: SparkSession, sf_dir: str):
     from pg_telemetry_spark.operators.minhash import lsh_index
     from pg_telemetry_spark.queries.llm import _SHARED
 
-    app = spark.sparkContext.applicationId
+    app = app_id(spark)
     keys = [(app, "incr_base_index", sf_dir, which) for which in range(3)]
     if not all(k in _SHARED for k in keys):
         # build the three tables from ONE pipeline run (shingles feed
@@ -559,13 +560,14 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surrounding document differs.
 
     Scale: explode distinct 8-grams (narrow map), equi-join against
-    the DISTINCT benchmark-gram set on the gram string — at real
-    scale the benchmark side is millions of grams (eval suites), far
-    under broadcast threshold, so the probe is a broadcast semi-join
-    over the corpus scan with no corpus shuffle; per-doc counts are
-    one map-side-combined aggregate.  Flagging/quarantining is a
-    filter on the returned rate, left to the caller (policy, not
-    engine)."""
+    the DISTINCT benchmark-gram set on the gram string.  No explicit
+    broadcast hint: millions of 8-word gram strings (real eval
+    suites) are hundreds of MB — over any sane broadcast threshold —
+    so the planner must stay free to pick a shuffle join there, while
+    at fixture scale the threshold/AQE pick the broadcast on their
+    own.  Per-doc counts are one map-side-combined aggregate.
+    Flagging/quarantining is a filter on the returned rate, left to
+    the caller (policy, not engine)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
     n = F.size("w")
     # guard the short-doc case: Spark's sequence(1, 0) is DESCENDING
@@ -585,7 +587,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = grams.filter(F.col("doc_id") % 47 != 0)
     sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )

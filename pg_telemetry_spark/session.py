@@ -77,6 +77,39 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def app_id(spark: SparkSession) -> str:
+    """Session identity for cache keys.
+
+    ``sparkContext.applicationId`` on classic sessions; Spark Connect
+    sessions have no ``sparkContext``, so fall back to the
+    ``spark.app.id`` conf (same value on classic) and finally a
+    constant — a Connect client talks to one app anyway.
+    """
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        try:
+            return spark.conf.get("spark.app.id")
+        except Exception:
+            return "spark-connect"
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """Cluster-width hint for explicit repartition spreads.
+
+    ``sparkContext.defaultParallelism`` on classic sessions; on Spark
+    Connect (no ``sparkContext``) the shuffle-partition conf is the
+    closest runtime-readable stand-in.
+    """
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return 200
+
+
 import contextlib
 
 

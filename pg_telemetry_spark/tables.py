@@ -35,7 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from pg_telemetry_spark.session import prepare_session
+from pg_telemetry_spark.session import app_id, prepare_session
 
 TABLE_NAMES = (
     "region",
@@ -232,7 +232,18 @@ def events_ts_unit(path: str) -> str:
     idx = pf.schema_arrow.get_field_index("ts")
     if idx < 0:
         raise ValueError(f"parquet file {probe!r} has no 'ts' column; cannot probe unit")
-    if pf.schema.column(idx).physical_type == "INT96":
+    # The physical (leaf) schema is a FLATTENED list that diverges from
+    # the Arrow top-level field order once any nested column exists, so
+    # resolve the leaf by path, never by reusing the Arrow index.
+    leaf = next(
+        (
+            pf.schema.column(i)
+            for i in range(len(pf.schema))
+            if pf.schema.column(i).path == "ts"
+        ),
+        None,
+    )
+    if leaf is not None and leaf.physical_type == "INT96":
         unit = "us"  # Spark decodes INT96 natively
     else:
         unit = pf.schema_arrow.field(idx).type.unit
@@ -278,7 +289,7 @@ def load_table(
         cache = _cache_enabled()
     if not cache:
         return _read_table(spark, sf_dir, name)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (app_id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = _read_table(spark, sf_dir, name).persist()
