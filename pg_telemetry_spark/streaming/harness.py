@@ -39,19 +39,43 @@ class FileStreamHarness:
     #: partitioning follows the cluster's shuffle sizing instead —
     #: this knob is local-harness ergonomics, not a scale setting.
     shuffle_partitions: int = 8
+    #: State-store backend.  RocksDB (bundled rocksdbjni) is the scale
+    #: story for stateful streaming — the default HDFS-backed provider
+    #: holds every key in executor heap, so 100 TB of keyed state OOMs,
+    #: while RocksDB spills state to local SSD with bounded memory
+    #: (SURVEY §3 EP3).  Results are provider-independent (the batch
+    #: equivalence tests pin them); set to "" to fall back to the
+    #: session default provider.
+    state_store_provider: str = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
     _batch_no: int = 0
 
     @contextlib.contextmanager
     def sized_shuffle(self):
-        """Temporarily size shuffle/state partitioning for a local
-        micro-batch run; always restores the host session's value."""
-        key = "spark.sql.shuffle.partitions"
-        old = self.spark.conf.get(key)
-        self.spark.conf.set(key, str(self.shuffle_partitions))
+        """Temporarily size shuffle/state partitioning (and select the
+        state-store provider) for a local micro-batch run; always
+        restores the host session's values."""
+        keys = {"spark.sql.shuffle.partitions": str(self.shuffle_partitions)}
+        if self.state_store_provider:
+            keys["spark.sql.streaming.stateStore.providerClass"] = (
+                self.state_store_provider
+            )
+        old: dict[str, str | None] = {}
+        for k, v in keys.items():
+            try:
+                old[k] = self.spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            self.spark.conf.set(k, v)
         try:
             yield
         finally:
-            self.spark.conf.set(key, old)
+            for k, v in old.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
 
     @property
     def landing(self) -> str:

@@ -72,7 +72,12 @@ BUDGETS = {
     "dq_constraints": 2,
     "llm_sim_join": 2,
     "llm_ann_lsh": 2,
-    "llm_containment": 2,
+    # PPJoin family (r7): plans root at the _shared df-ranked docs
+    # relation (same materialized-table shape as llm_dedup_cc); the
+    # 3 = prefix self-join sides + candidate distinct
+    "llm_containment": 3,
+    "llm_containment_full": 3,
+    "llm_jaccard_full": 3,
     "wl_retention": 3,
     "wl_q13_cust_order_dist": 3,
     "wl_cdc_apply": 3,

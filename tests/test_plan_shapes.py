@@ -108,6 +108,53 @@ def test_partition_pruning_on_warehouse_layout(spark, sf_dir):
     assert sliced.select(F.countDistinct("event_date")).head()[0] == 1
 
 
+def test_dynamic_partition_pruning_on_date_dim_join(spark, sf_dir):
+    """DPP end-to-end (SURVEY §4.1's "biggest tsdb win"): when the
+    partition filter is only knowable at RUNTIME — a join against a
+    date dimension filtered on an attribute, not on the date — the
+    fact scan must still prune directories, via a dynamic-pruning
+    subquery fed by the dim's broadcast, not by scanning all 30 days
+    and filtering post-join.  At 100 TB this is the difference
+    between reading 8 weekend partitions and reading everything."""
+    import datetime as dt
+
+    tmp = tempfile.mkdtemp(prefix="pgts_dpp_")
+    from pg_telemetry_spark.tables import clear_table_cache
+
+    clear_table_cache()
+    events = load_table(spark, sf_dir, "events", cache=False)
+    write_events_warehouse(events, f"{tmp}/events")
+    fact = spark.read.parquet(f"{tmp}/events")
+    # Calendar dim: the filter lands on day-of-week, so static pruning
+    # CANNOT see which event_date values survive — only DPP can.  Two
+    # traps this setup dodges (both found the hard way): the dim must
+    # be FILE-backed (a createDataFrame LogicalRDD has unknown stats,
+    # so the planner broadcasts the FACT side and DPP has no dim
+    # broadcast to reuse), and the dim predicate must survive
+    # optimization as a comparison — `is_weekend = true` is
+    # boolean-simplified to a bare attribute, which fails the rule's
+    # isLikelySelective test, so PartitionPruning silently declines.
+    dim_rows = [
+        (dt.date(2024, 1, d), dt.date(2024, 1, d).weekday()) for d in range(1, 31)
+    ]
+    spark.createDataFrame(dim_rows, "d date, dow int").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/dim")
+    dim = spark.read.parquet(f"{tmp}/dim")
+    joined = fact.join(dim.filter(F.col("dow") >= 5), fact.event_date == dim.d)
+    plan = _formatted(joined)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruning" in l for l in pf), (
+        f"no dynamic-pruning subquery at the fact scan: {pf}"
+    )
+    # and the pruning is real: exactly the 8 January weekend days
+    got = sorted(
+        r.event_date for r in joined.select("event_date").distinct().collect()
+    )
+    weekends = sorted(d for d, w in dim_rows if w >= 5)
+    assert got == weekends, f"expected {weekends}, scanned {got}"
+
+
 def test_exchange_reuse_no_double_scan_of_fact(spark, sf_dir):
     """The flagship query scans events exactly once (count distinct
     scan node ids — formatted output repeats each node in tree +

@@ -277,3 +277,30 @@ def test_sliding_window_final_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rocksdb_state_store_engages(spark):
+    """The harness must run stateful ops on the RocksDB provider (the
+    100-TB state story — heap-backed state OOMs at scale), and the
+    checkpoint must carry RocksDB artifacts, not just the conf."""
+    from pathlib import Path
+
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    assert "RocksDBStateStoreProvider" in h.state_store_provider
+
+    def agg(stream):
+        return stream.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    h.add_batch(_mk_events(spark, [(1, 0, 1, "click", 1.0), (2, 5, 2, "view", 1.0)]))
+    h.run_available(agg(h.stream()), "rocks", output_mode="update")
+    # RocksDB checkpoints write per-partition zip/changelog files under
+    # state/<op>/<part>/ — the default HDFS provider writes .delta files
+    state = Path(h.checkpoint("rocks")) / "state"
+    files = [p.name for p in state.rglob("*") if p.is_file()]
+    assert files, f"no state files under {state}"
+    assert any(f.endswith(".zip") or "rocksdb" in f.lower() for f in files), (
+        f"no RocksDB artifacts in state dir: {sorted(set(files))[:10]}"
+    )
+    assert not any(f.endswith(".delta") for f in files), (
+        "HDFS-provider .delta files present — RocksDB conf did not engage"
+    )
