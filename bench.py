@@ -102,26 +102,14 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "collect")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+def _run_df(df, mode: str) -> None:
+    if mode == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.collect()
 
-    def run(df) -> None:
-        if mode == "noop":
-            df.write.format("noop").mode("overwrite").save()
-        else:
-            df.collect()
 
-    spark = get_session("pg_telemetry_spark-bench")
-    registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
-
-    # warm-up: JVM, codegen, parquet footer caches
-    if names:
-        run(registry[names[0]].fn(spark, sf_dir))
-
+def _prebuild_incr_index(spark, names, sf_dir: str) -> None:
     # llm_dedup_incr is benched PROBE-ONLY: the base-corpus LSH index
     # is a materialized table in any real deployment (built once at
     # ingest), so the O(corpus) build is pre-paid here and the timed
@@ -133,12 +121,82 @@ def main() -> None:
 
         _incr_base_index(spark, sf_dir)
 
+
+def _run_suite(spark, registry, names, sf_dir: str, mode: str) -> dict:
+    _prebuild_incr_index(spark, names, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        run(registry[name].fn(spark, sf_dir))
+        _run_df(registry[name].fn(spark, sf_dir), mode)
         timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
 
+
+def _scale_curve(spark, registry, names) -> dict | None:
+    """Two-point scale curve (VERDICT r6 #1): the full headline list in
+    noop mode (engine time, not the Python row codec) at sf0.1 and at
+    the synthetic 10x sf1 ladder, with per-query sf1/sf0.1 ratios.
+    The sf1 fixtures are deterministic and regenerate in ~15 s when
+    absent (``tools/gen_scale.py``), so the curve survives a fresh
+    checkout.  Disable with SPARK_GRAFT_NO_SCALE_CURVE=1."""
+    sf1_dir = str(REPO / "scaledata" / "sf1")
+    if not os.path.isdir(sf1_dir):
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "gen_scale.py")],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0 or not os.path.isdir(sf1_dir):
+            return {"error": "sf1 generation failed", "stderr": r.stderr[-500:]}
+
+    def cold() -> None:
+        # Both legs measured COLD: the headline collect pass above has
+        # already warmed sf0.1's _shared subtrees and persisted
+        # materializations, which would deflate the sf0.1 leg and
+        # fake a super-linear ratio (observed: llm_dedup_near 0.11 s
+        # warm vs ~4 s cold).  Same discipline as PLANS.md's audit.
+        from pg_telemetry_spark.queries.llm import clear_shared_cache
+
+        clear_shared_cache()
+        spark.catalog.clearCache()
+
+    cold()
+    lo = _run_suite(spark, registry, names, "/root/testdata/sf0.1", "noop")
+    cold()
+    hi = _run_suite(spark, registry, names, sf1_dir, "noop")
+    ratios = {
+        n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in names
+    }
+    return {
+        "metric": "scale_curve_noop",
+        "unit": "sec",
+        "sf0.1": {"value": round(sum(lo.values()), 3), "queries": lo},
+        "sf1": {"value": round(sum(hi.values()), 3), "queries": hi},
+        "ratio_sf1_over_sf0.1": ratios,
+        "data_ratio": 10.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "collect")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    def run(df) -> None:
+        _run_df(df, mode)
+
+    spark = get_session("pg_telemetry_spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm-up: JVM, codegen, parquet footer caches
+    if names:
+        run(registry[names[0]].fn(spark, sf_dir))
+
+    timings = _run_suite(spark, registry, names, sf_dir, mode)
     total = round(sum(timings.values()), 3)
 
     # Streaming suite: every group="streaming" query through the
@@ -173,6 +231,10 @@ def main() -> None:
             "sf_dir": stream_sf_dir,
         }
 
+    curve = None
+    if os.environ.get("SPARK_GRAFT_NO_SCALE_CURVE", "") != "1":
+        curve = _scale_curve(spark, registry, names)
+
     out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -184,6 +246,8 @@ def main() -> None:
     }
     if streaming is not None:
         out["streaming"] = streaming
+    if curve is not None:
+        out["scale_curve"] = curve
     print(json.dumps(out))
     spark.stop()
 

@@ -1,9 +1,18 @@
-"""Simulate the driver's verify: plain SparkSession, entry smoke, t2 loop."""
-import sys, hashlib, time, datetime as dt
+"""Simulate the driver's verify: plain SparkSession, entry smoke, t2 loop.
+
+Writes a CORRECTNESS-shaped JSON artifact (same per-query keys as the
+driver's CORRECTNESS_r{N}.json) covering EVERY registered query — the
+driver itself samples only 50, so this archive is the auditable record
+for the unsampled rest (VERDICT r6 #6).  Output path: argv[1] or
+CORRECTNESS_LOCAL.json in the repo root.
+"""
+import sys, hashlib, json, time, traceback, datetime as dt
 from decimal import Decimal
 sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_LOCAL.json"
 
 # plain session, as the driver would build it (no engine confs!)
 spark = (SparkSession.builder.master("local[8]")
@@ -39,25 +48,43 @@ qs, osql = e.queries(), e.oracle_sql()
 ok = bad = 0
 t_start = time.perf_counter()
 timings = {}
+results = {}
 for name, fn in sorted(qs.items()):
     t0 = time.perf_counter()
-    df = fn(spark, SF)
-    scols = sorted(df.columns)
-    srows = [tuple(r[c] for c in scols) for r in df.collect()]
+    try:
+        df = fn(spark, SF)
+        scols = sorted(df.columns)
+        srows = [tuple(r[c] for c in scols) for r in df.collect()]
+    except Exception:
+        timings[name] = time.perf_counter() - t0
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None, "err": traceback.format_exc(limit=3)}
+        print(f"  {name}: SPARK ERROR"); bad += 1; continue
     if name not in osql:
         timings[name] = time.perf_counter() - t0
+        results[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": len(srows),
+                         "oracle_rows": None, "err": "no_oracle"}
         print(f"  {name}: rows-only, {len(srows)} rows [{timings[name]:.2f}s]"); ok += 1; continue
     cur = con.execute(osql[name])
     dnames = [d[0] for d in cur.description]
     order = sorted(range(len(dnames)), key=lambda i: dnames[i])
     dcols = [dnames[i] for i in order]
     drows = [tuple(r[i] for i in order) for r in cur.fetchall()]
-    match = (scols == dcols and len(srows) == len(drows)
-             and vhash(scols, srows) == vhash(dcols, drows))
+    hmatch = vhash(scols, srows) == vhash(dcols, drows)
+    match = scols == dcols and len(srows) == len(drows) and hmatch
     timings[name] = time.perf_counter() - t0
+    results[name] = {"rows_match": len(srows) == len(drows),
+                     "schema_match": scols == dcols, "hash_match": hmatch,
+                     "spark_rows": len(srows), "oracle_rows": len(drows),
+                     "err": None}
     print(f"  {name}: cols={scols==dcols} rows={len(srows)}/{len(drows)} hash={'MATCH' if match else 'MISMATCH'} [{timings[name]:.2f}s]")
     ok += match; bad += (not match)
 slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
 print("slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in slow))
 print(f"T2: {ok} ok, {bad} mismatched, total {time.perf_counter() - t_start:.1f}s")
+with open(OUT, "w") as f:
+    json.dump(results, f, indent=2)
+print("wrote", OUT)
 sys.exit(1 if bad else 0)
