@@ -99,6 +99,11 @@ HEADLINE = [
     # only these exercise the PPJoin blocking join at corpus scale)
     "llm_jaccard_full",
     "llm_containment_full",
+    # round-7: corpus-curation family (post-dedup pipeline filters)
+    "llm_repetition",
+    "llm_ngram_novelty",
+    "llm_domain_mix",
+    "llm_chunk_dedup",
 ]
 
 

@@ -1,0 +1,299 @@
+"""Corpus-curation operators (round 7): the filters a pretraining
+data pipeline runs AFTER dedup/quality — repetition screens, marginal
+novelty, mixture resampling, and sub-document dedup.
+
+All four are tier A (full DuckDB hash oracle).  Design notes per op
+explain why the shape holds at 100 TB; the common theme is that
+per-document features stay NARROW (higher-order array functions, no
+explode/shuffle) and the corpus-global ops shuffle exactly once on
+their natural key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+
+def _word_grams(i_start: F.Column, i_stop: F.Column, n: int) -> F.Column:
+    """Array of space-joined n-grams of the token array column ``t``
+    for 1-based start indices ``i_start..i_stop`` (inclusive)."""
+    return F.transform(
+        F.sequence(i_start, i_stop),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("t", i + F.lit(k)) for k in range(n)]
+        ),
+    )
+
+
+@query(
+    "llm_repetition",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), feats AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(t) - len(list_distinct(t)) AS dup_words,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tg
+  FROM toks
+)
+SELECT doc_id,
+       n_tokens,
+       round(CAST(dup_words AS DOUBLE) / n_tokens, 6) AS dup_word_ratio,
+       round(CAST(list_max(list_transform(list_distinct(bg),
+                     x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+             / len(bg), 6) AS top_bigram_frac,
+       round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+           AS dup_trigram_frac
+FROM feats
+""",
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens: duplicate-word ratio, most
+    frequent bigram's share of all bigrams, repeated-trigram fraction.
+    High values flag boilerplate / machine-generated text that length
+    and stopword heuristics (llm_quality) miss.
+
+    Scale shape: ENTIRELY NARROW — every feature is a higher-order
+    function over the per-row token array, so the operator is a pure
+    map over the scan with zero shuffles at any corpus size.  The
+    top-bigram share avoids the O(L^2) count-each-distinct approach:
+    sort the bigram array once (O(L log L)) and fold a max-run-length
+    accumulator over it, so a pathological 100k-token document costs
+    log-linear, not quadratic, per row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    n = F.size("t")
+    bgs = _word_grams(F.lit(1), n - 1, 2)
+    tgs = _word_grams(F.lit(1), n - 2, 3)
+    max_run = F.aggregate(
+        F.array_sort(bgs),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round((n - F.size(F.array_distinct("t"))).cast("double") / n, 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(max_run.cast("double") / F.size(bgs), 6).alias("top_bigram_frac"),
+        F.round(
+            (F.size(tgs) - F.size(F.array_distinct(tgs))).cast("double") / F.size(tgs),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+  FROM toks
+), firsts AS (
+  SELECT doc_id, g, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM grams
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+       round(CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+             / count(*), 6) AS novelty_rate
+FROM firsts GROUP BY doc_id
+""",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty scoring: per document, the fraction of its
+    distinct word trigrams that FIRST appear in this document (in
+    stable doc_id order).  This is the curation signal behind
+    "diminishing returns" corpus pruning — documents whose grams are
+    all already covered add little to a training mix.
+
+    Scale shape: one shuffle on the gram key (the window min needs no
+    ordering, so it is a plain partition-wide aggregate, not a sort),
+    then one shuffle back to doc_id.  At 100 TB the gram key is
+    hashed (shuffle 8-byte keys, not strings) and first_doc becomes a
+    materialized gram index — exactly the incremental-dedup index
+    shape that llm_dedup_incr already maintains."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_grams(F.lit(1), F.size("t") - 2, 3))).alias(
+            "g"
+        ),
+    )
+    firsts = grams.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
+    return firsts.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        F.round(
+            F.count_if(F.col("first_doc") == F.col("doc_id")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+@query(
+    "llm_domain_mix",
+    group="curation",
+    oracle="""
+WITH c AS (
+  SELECT source, count(*) AS src_n FROM documents GROUP BY source
+), t AS (
+  SELECT sum(src_n) AS total, count(*) AS k FROM c
+), b AS (
+  SELECT d.doc_id, d.source, c.src_n, t.total, t.k,
+         (instr('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)),1,1))-1)*256
+       + (instr('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)),2,1))-1)*16
+       + (instr('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)),3,1))-1)
+           AS bucket
+  FROM documents d JOIN c USING (source) CROSS JOIN t
+)
+SELECT source,
+       any_value(src_n) AS src_n,
+       count(*) FILTER (WHERE CAST(bucket AS BIGINT) * k * src_n < 4096 * total)
+           AS n_kept,
+       round(CAST(count(*) FILTER (WHERE CAST(bucket AS BIGINT) * k * src_n
+                                         < 4096 * total) AS DOUBLE)
+             / any_value(src_n), 6) AS keep_rate,
+       min(doc_id) FILTER (WHERE CAST(bucket AS BIGINT) * k * src_n < 4096 * total)
+           AS min_kept_doc
+FROM b GROUP BY source
+""",
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: downsample each source
+    toward a UNIFORM target mix (total/k docs per source) by keeping
+    documents whose md5 hash bucket clears a per-source threshold.
+    The keep test ``bucket * k * src_n < 4096 * total`` is PURE
+    INTEGER arithmetic — no float keep-rate, so membership is exactly
+    reproducible on any engine (the same property llm_split_hash
+    leans on), and over-represented domains are cut while small ones
+    pass through whole (rate saturates at 1).
+
+    Scale shape: the per-source count table is tiny (one row per
+    domain) and broadcast onto the fact scan; the keep decision is a
+    narrow map per row; one final hash-agg on source.  Totals ride a
+    whole-frame window over the ~k-row counts table (NOT a second
+    aggregate over the corpus scan — that shape costs an extra full
+    documents pass), so the corpus is read exactly twice: once for
+    counts, once for tagging.  This is how a 100 TB corpus is
+    resampled to a target mixture with no rand() and no repartition."""
+    d = load_table(spark, sf_dir, "documents")
+    whole = Window.partitionBy()  # k rows — single-partition window is fine
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("src_n"))
+        .withColumn("total", F.sum("src_n").over(whole))
+        .withColumn("k", F.count("*").over(whole))
+    )
+    hexd = "0123456789abcdef"
+    bucket = (
+        (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1)
+        * 256
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 2, 1))") - 1)
+        * 16
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 3, 1))") - 1)
+    )
+    tagged = (
+        d.join(F.broadcast(counts), "source")
+        .withColumn(
+            "keep",
+            bucket.cast("bigint") * F.col("k") * F.col("src_n")
+            < F.lit(4096) * F.col("total"),
+        )
+    )
+    return tagged.groupBy("source").agg(
+        F.any_value("src_n").alias("src_n"),
+        F.count_if("keep").alias("n_kept"),
+        F.round(
+            F.count_if("keep").cast("double") / F.any_value("src_n"), 6
+        ).alias("keep_rate"),
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("min_kept_doc"),
+    )
+
+
+@query(
+    "llm_chunk_dedup",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id,
+         CAST((s - 1) // 8 AS INTEGER) AS chunk_idx,
+         array_to_string(list_slice(t, s, s + 7), ' ') AS chunk
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 8)) AS s FROM toks)
+), ranked AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE rn = 1) AS DOUBLE) / count(*), 6)
+           AS retained_frac
+FROM ranked GROUP BY doc_id
+""",
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: split every document into
+    non-overlapping 8-token chunks and keep only the FIRST occurrence
+    of each chunk corpus-wide (first = smallest (doc_id, chunk_idx)).
+    Reports the per-document retained fraction — the knob repeated
+    boilerplate (headers, licenses, navigation) is stripped by even
+    when whole-document dedup keeps both documents.
+
+    Scale shape: one shuffle partitioned by the chunk value (at
+    100 TB, by xxhash64(chunk) so the exchange moves 8-byte keys, and
+    the winner per hash is an arg-min aggregate rather than a sorted
+    window), then one shuffle back to doc_id for the report.  No
+    self-join: ownership is decided inside a single window/aggregate
+    over the chunk partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t"), F.lit(8)),
+                lambda s: F.concat_ws(" ", F.slice("t", s, 8)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.round(F.count_if(F.col("rn") == 1).cast("double") / F.count("*"), 6).alias(
+            "retained_frac"
+        ),
+    )

@@ -37,6 +37,7 @@ BUDGETS = {
     "filt_ts_range": 0,  # pushed-down slice
     "join_theta_range": 0,  # banded broadcast join, no shuffle
     "llm_chunk_docs": 0,
+    "llm_repetition": 0,  # pure narrow map: every feature is an array fold
     "llm_dedup_cc": 0,  # plan roots at the materialized label table
     # single-shuffle backbone
     "flagship_hourly_top20": 1,
@@ -72,6 +73,11 @@ BUDGETS = {
     "dq_constraints": 2,
     "llm_sim_join": 2,
     "llm_ann_lsh": 2,
+    "llm_ngram_novelty": 2,  # gram-key window min + doc_id re-agg
+    "llm_chunk_dedup": 2,  # chunk-key ownership window + doc_id re-agg
+    # 3 = corpus counts agg + two tiny exchanges over the k-row counts
+    # table (whole-frame window + final source agg)
+    "llm_domain_mix": 3,
     # PPJoin family (r7): plans root at the _shared df-ranked docs
     # relation (same materialized-table shape as llm_dedup_cc); the
     # 3 = prefix self-join sides + candidate distinct
