@@ -104,6 +104,7 @@ HEADLINE = [
     "llm_ngram_novelty",
     "llm_domain_mix",
     "llm_chunk_dedup",
+    "layout_zorder",
 ]
 
 

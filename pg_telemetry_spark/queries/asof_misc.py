@@ -78,3 +78,72 @@ def sort_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_part.groupBy("is_sorted").agg(
         F.count("*").alias("n_partitions"), F.sum("n_rows").alias("n_rows")
     )
+
+
+_Z_TERMS = " + ".join(
+    f"(((a >> {k}) & 1) << {2 * k}) + (((b >> {k}) & 1) << {2 * k + 1})"
+    for k in range(8)
+)
+
+
+@query(
+    "layout_zorder",
+    group="layout",
+    oracle=f"""
+WITH dims AS (
+  SELECT user_id % 256 AS a,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256 AS b
+  FROM {EVENTS_V} e
+), z AS (
+  SELECT a, b, ({_Z_TERMS}) AS zval FROM dims
+)
+SELECT zval >> 10 AS z_bucket,
+       count(*) AS n_events,
+       min(a) AS min_user_bits, max(a) AS max_user_bits,
+       min(b) AS min_day, max(b) AS max_day
+FROM z GROUP BY z_bucket
+""",
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering stats: interleave the low 8 bits of
+    two query dimensions (user bucket, day index) into a 16-bit
+    z-value, then report per-1024-z-range row counts and BOTH dims'
+    min/max — exactly the footer statistics a parquet reader prunes
+    on after the table is rewritten in z order.
+
+    Each z-range fixes the top 3 bits of BOTH dims, so every bucket
+    confines user-bucket AND day to a <=32-wide span — the property
+    that makes predicates on EITHER dimension prune ~31/32 of the
+    file ranges, where a single-dim sort leaves the second dimension
+    spanning its whole domain in every file.
+
+    Scale shape: the z-value is a narrow bit-arithmetic map (pure
+    codegen, no UDF); the report is one hash-agg on the 64 z-ranges.
+    At 100 TB the layout action is `repartitionByRange(zval) +
+    sortWithinPartitions(zval)` at write time — this operator is the
+    audit that the resulting clustering is tight, and doubles as the
+    z-value kernel that write path reuses."""
+    e = load_table(spark, sf_dir, "events")
+    dims = e.select(
+        (F.col("user_id") % 256).alias("a"),
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 256
+        ).alias("b"),
+    )
+    zval = None
+    for k in range(8):
+        term = F.shiftleft(
+            F.shiftright(F.col("a"), k).bitwiseAND(F.lit(1)), 2 * k
+        ) + F.shiftleft(F.shiftright(F.col("b"), k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        zval = term if zval is None else zval + term
+    return (
+        dims.withColumn("zval", zval)
+        .groupBy(F.shiftright("zval", 10).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("a").alias("min_user_bits"),
+            F.max("a").alias("max_user_bits"),
+            F.min("b").alias("min_day"),
+            F.max("b").alias("max_day"),
+        )
+    )

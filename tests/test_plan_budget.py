@@ -58,6 +58,7 @@ BUDGETS = {
     "llm_cosine_topk": 1,
     "llm_bm25": 1,
     "llm_pack_sequences": 1,
+    "layout_zorder": 1,  # narrow bit-interleave map + one z-range agg
     # multi-stage pipelines at their audited counts
     "ts_gapfill": 2,
     "ts_gapfill_interp": 2,

@@ -119,3 +119,21 @@ def test_chunk_dedup_copied_chunk_loses_to_earlier_doc(spark, monkeypatch):
     assert rows[1].n_chunks == 2 and rows[1].n_kept == 1  # lost the copied chunk
     assert rows[1].retained_frac == 0.5
     assert rows[2].retained_frac == 1.0
+
+
+def test_zorder_buckets_confine_both_dims(spark, sf_dir):
+    """Every 1024-z-value range fixes the top 3 bits of both
+    interleaved dimensions, so min/max spans must stay inside a
+    32x32 tile — the property that makes either-dimension predicates
+    prune ~31/32 of file ranges after a z-order rewrite."""
+    from pg_telemetry_spark.queries.asof_misc import layout_zorder
+
+    rows = layout_zorder(spark, sf_dir).collect()
+    assert rows, "no z buckets"
+    for r in rows:
+        assert r.max_user_bits - r.min_user_bits <= 31, r
+        assert r.max_day - r.min_day <= 31, r
+    total = sum(r.n_events for r in rows)
+    from pg_telemetry_spark.tables import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
