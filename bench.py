@@ -175,7 +175,7 @@ def _scale_curve(spark, registry, names) -> dict | None:
     ratios = {
         n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in names
     }
-    return {
+    out = {
         "metric": "scale_curve_noop",
         "unit": "sec",
         "sf0.1": {"value": round(sum(lo.values()), 3), "queries": lo},
@@ -183,6 +183,19 @@ def _scale_curve(spark, registry, names) -> dict | None:
         "ratio_sf1_over_sf0.1": ratios,
         "data_ratio": 10.0,
     }
+    # Optional third decade (sf10 = 100x the driver's sf0.1): opt-in
+    # because the leg adds ~20 min — generate scaledata/sf10 with
+    # `python tools/gen_scale.py --sf 10` first.  Ratios over sf1
+    # close the curve to TWO measured decades.
+    sf10_dir = str(REPO / "scaledata" / "sf10")
+    if os.environ.get("SPARK_GRAFT_SCALE3", "") == "1" and os.path.isdir(sf10_dir):
+        cold()
+        hi10 = _run_suite(spark, registry, names, sf10_dir, "noop")
+        out["sf10"] = {"value": round(sum(hi10.values()), 3), "queries": hi10}
+        out["ratio_sf10_over_sf1"] = {
+            n: round(hi10[n] / hi[n], 2) if hi[n] > 0 else None for n in names
+        }
+    return out
 
 
 def main() -> None:
