@@ -128,13 +128,30 @@ def _prebuild_incr_index(spark, names, sf_dir: str) -> None:
         _incr_base_index(spark, sf_dir)
 
 
-def _run_suite(spark, registry, names, sf_dir: str, mode: str) -> dict:
+def _run_suite(
+    spark, registry, names, sf_dir: str, mode: str, gc_between: bool = False
+) -> dict:
     _prebuild_incr_index(spark, names, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         _run_df(registry[name].fn(spark, sf_dir), mode)
         timings[name] = round(time.perf_counter() - t0, 3)
+        if gc_between:
+            # Long single-session legs accumulate shuffle files on
+            # local disk until the ContextCleaner notices the Python
+            # references died; at the sf10 leg the backlog from the
+            # big queries fills the disk mid-leg (measured round 7:
+            # SPILL_OUT_OF_MEMORY "No space left on device").  A GC
+            # nudge per query lets the cleaner drop them promptly —
+            # cleanup, not caching, so timings stay honest.
+            import gc as _gc
+
+            _gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     return timings
 
 
@@ -190,7 +207,7 @@ def _scale_curve(spark, registry, names) -> dict | None:
     sf10_dir = str(REPO / "scaledata" / "sf10")
     if os.environ.get("SPARK_GRAFT_SCALE3", "") == "1" and os.path.isdir(sf10_dir):
         cold()
-        hi10 = _run_suite(spark, registry, names, sf10_dir, "noop")
+        hi10 = _run_suite(spark, registry, names, sf10_dir, "noop", gc_between=True)
         out["sf10"] = {"value": round(sum(hi10.values()), 3), "queries": hi10}
         out["ratio_sf10_over_sf1"] = {
             n: round(hi10[n] / hi[n], 2) if hi[n] > 0 else None for n in names

@@ -28,15 +28,21 @@ Scale: every step is either a narrow map or an equi-shuffle on a
 uniform key (doc_id, bucket).  The candidate self-join costs
 O(collisions), never O(n²).  At 100 TB the bucket key is the natural
 partition key for incremental dedup (new docs only probe their own
-buckets); pathologically hot buckets (boilerplate text shared by
-millions of docs) ARE capped with a pre-join bucket-size filter
-(``max_bucket_size``, default 1000) — AQE skew splitting spreads the
-shuffle but not the O(k²) pair count inside a k-member bucket, so the
-cap is what actually bounds the candidate volume.  A doc dropped from
-one over-cap bucket still pairs through its other ``bands-1`` buckets,
-so only pairs whose EVERY collision is boilerplate-hot are lost —
-exactly the pairs a dedup pipeline quarantines for a dedicated
-boilerplate pass rather than pairwise-verifying.
+buckets).  Pathologically hot buckets (boilerplate / low-entropy text
+shared by thousands of docs) degrade to STAR pairing past
+``max_bucket_size`` members (default 256): each member pairs with the
+bucket's min id only, so a k-member hot bucket contributes O(k)
+candidates instead of O(k²) while staying CONNECTED for the verify
+and connected-components passes.  AQE skew splitting spreads the
+shuffle but not the quadratic pair count inside a bucket — the width
+bound is what actually bounds candidate volume, and the round-7 sf10
+ladder measured the failure mode the old drop-at-1000 cap missed:
+hundreds of near-cap buckets × 500k pairs each × two 64-long
+signature arrays attached per pair = a spill measured in hundreds of
+GB.  With star degrade, dense near-dup clusters surface through
+their representative (and a direct pair can still appear via any
+narrower bucket in the other bands), which is exactly what the
+downstream CC clustering consumes.
 """
 
 from __future__ import annotations
@@ -47,27 +53,58 @@ from pyspark.sql import DataFrame, Window
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 DEFAULT_SHINGLE = 5
-#: Max members per (band, bucket) before the bucket is dropped from
-#: candidate generation.  1000 bounds any single bucket's pair count
-#: at ~500k while sitting far above anything a non-adversarial corpus
-#: produces (fixture buckets hold <10 docs).
-DEFAULT_MAX_BUCKET = 1000
+#: Max members per (band, bucket) that still pair ALL-vs-ALL.  Wider
+#: buckets degrade to STAR pairing (every member vs the bucket's min
+#: id): O(k) candidates instead of O(k²), while keeping the bucket
+#: CONNECTED for the verify + connected-components pass.  256 bounds
+#: any bucket's quadratic pair count at ~32k; the round-7 sf10 ladder
+#: showed why a drop-style cap at 1000 is not enough: a low-entropy
+#: corpus (tiny vocabulary = near-total shingle overlap between long
+#: docs) drives HUNDREDS of buckets to the cap, and 500k pairs per
+#: bucket × the signature-prefilter join's two 64-long arrays per
+#: pair = a spill measured in hundreds of GB.
+DEFAULT_MAX_BUCKET = 256
 
 
-def _cap_hot_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Drop (band, bucket) groups larger than ``max_bucket_size``.
+def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """(id1 < id2) candidate pairs per (band, bucket).
 
-    One window count over the same (band, bucket) key the candidate
-    join shuffles on — the partitioning is computed once and reused.
+    Buckets up to ``max_bucket_size`` members pair quadratically (the
+    exact LSH candidate semantics).  Wider buckets emit each member
+    against the bucket's min id only — a star that preserves cluster
+    connectivity with O(k) volume; its pairs still flow through the
+    exact-Jaccard verify, so nothing unverified is ever reported.  A
+    doc's DIRECT pair with a specific near-copy can still surface via
+    any of its other bands' (narrower) buckets.  ``None`` disables
+    the width check (pure quadratic semantics).
+
+    One window over the same (band, bucket) key the self-join
+    shuffles on — the partitioning is computed once and reused.
     """
+    id_col = banded.columns[0]
     if max_bucket_size is None:
-        return banded
+        left = banded.select(F.col(id_col).alias("id1"), "band", "bucket")
+        right = banded.select(F.col(id_col).alias("id2"), "band", "bucket")
+        return left.join(right, ["band", "bucket"]).filter(F.col("id1") < F.col("id2"))
     w = Window.partitionBy("band", "bucket")
-    return (
-        banded.withColumn("_bsize", F.count("*").over(w))
-        .filter(F.col("_bsize") <= max_bucket_size)
-        .drop("_bsize")
+    sized = banded.select(
+        F.col(id_col),
+        "band",
+        "bucket",
+        F.count("*").over(w).alias("_bsize"),
+        F.min(id_col).over(w).alias("_bmin"),
     )
+    small = sized.filter(F.col("_bsize") <= max_bucket_size)
+    left = small.select(F.col(id_col).alias("id1"), "band", "bucket")
+    right = small.select(F.col(id_col).alias("id2"), "band", "bucket")
+    quad = left.join(right, ["band", "bucket"]).filter(F.col("id1") < F.col("id2"))
+    star = (
+        sized.filter(
+            (F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin"))
+        )
+        .select(F.col("_bmin").alias("id1"), F.col(id_col).alias("id2"))
+    )
+    return quad.select("id1", "id2").unionByName(star)
 
 
 def with_shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text") -> DataFrame:
@@ -122,8 +159,8 @@ def lsh_candidate_pairs(
     """Candidate (id1, id2) pairs sharing ≥1 LSH band bucket.
 
     ``signatures`` is the output of :func:`minhash_signatures`.
-    Buckets with more than ``max_bucket_size`` members are dropped
-    before the self-join (see module docstring; ``None`` disables).
+    Buckets wider than ``max_bucket_size`` degrade to star pairing
+    (see :func:`_bucket_pairs`; ``None`` disables the width check).
     """
     rows = num_perm // bands
     band_cols = [
@@ -134,15 +171,7 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
-    banded = _cap_hot_buckets(banded, max_bucket_size)
-    left = banded.select(F.col(id_col).alias("id1"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id2"), "band", "bucket")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .dropDuplicates(["id1", "id2"])
-    )
+    return _bucket_pairs(banded, max_bucket_size).dropDuplicates(["id1", "id2"])
 
 
 def near_duplicates(
@@ -275,12 +304,24 @@ def incremental_near_duplicates(
     sg_new = sg_new.persist()
     bk_new = bk_new.persist()
 
-    # Hot-bucket cap on the indexed side (sized over base+delta): the
-    # equi-join emits nothing for a dropped bucket, so capping one side
-    # bounds the pair count without touching the probe stream.
-    all_buckets = _cap_hot_buckets(
-        index_buckets.unionByName(bk_new), max_bucket_size
-    )
+    # Hot-bucket bound on the indexed side (sized over base+delta):
+    # buckets up to max_bucket_size join whole, so each probe row fans
+    # out at most max_bucket_size ways; wider buckets collapse to
+    # their min-id representative — the probe still connects to the
+    # hot cluster (and gets exact-verified against it) instead of the
+    # bucket silently vanishing, mirroring _bucket_pairs' star degrade.
+    all_buckets = index_buckets.unionByName(bk_new)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        all_buckets = (
+            all_buckets.withColumn("_bsize", F.count("*").over(wb))
+            .withColumn("_bmin", F.min(id_col).over(wb))
+            .filter(
+                (F.col("_bsize") <= max_bucket_size)
+                | (F.col(id_col) == F.col("_bmin"))
+            )
+            .drop("_bsize", "_bmin")
+        )
     probe = bk_new.select(F.col(id_col).alias("id_n"), "band", "bucket")
     other = all_buckets.select(F.col(id_col).alias("id_o"), "band", "bucket")
     cands = (

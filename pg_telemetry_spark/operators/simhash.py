@@ -22,7 +22,7 @@ multi-index trick), which turns near-dup search into 4 equi-joins.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 SIMHASH_BITS = 64
 
@@ -56,11 +56,25 @@ def hamming(a, b):
 
 
 def simhash_chunk_candidates(
-    fingerprints: DataFrame, id_col: str = "doc_id", chunks: int = 4
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 exact 16-bit fingerprint chunk (the
     multi-index Hamming-ball trick: distance ≤ chunks-1 guarantees a
-    shared chunk).  Returns (id1, id2, hamming)."""
+    shared chunk).  Returns (id1, id2, hamming).
+
+    Chunk buckets wider than ``max_bucket_size`` degrade to STAR
+    pairing against the bucket's min-id member — the same hot-bucket
+    bound as the MinHash LSH join (operators/minhash.py): a
+    low-entropy corpus drives thousands of near-identical fingerprints
+    into the same 16-bit chunk, and the quadratic join inside such a
+    bucket is what blew the round-7 sf10 leg to 883 s.  Star pairs
+    carry the true pairwise Hamming distance (computed against the
+    representative's fingerprint), so downstream radius filters stay
+    exact; dense clusters stay connected through the representative.
+    """
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     chunk_cols = F.array(
@@ -74,15 +88,37 @@ def simhash_chunk_candidates(
     exploded = fingerprints.select(
         F.col(id_col), F.col("simhash"), F.posexplode(chunk_cols).alias("chunk_idx", "chunk")
     ).persist()
-    left = exploded.select(
+    if max_bucket_size is None:
+        small = exploded
+        star = None
+    else:
+        w = Window.partitionBy("chunk_idx", "chunk")
+        sized = exploded.withColumn("_bsize", F.count("*").over(w)).withColumn(
+            "_bmin",
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))).over(w),
+        )
+        small = sized.filter(F.col("_bsize") <= max_bucket_size).drop("_bsize", "_bmin")
+        star = (
+            sized.filter(
+                (F.col("_bsize") > max_bucket_size)
+                & (F.col(id_col) != F.col("_bmin")["i"])
+            )
+            .select(
+                F.col("_bmin")["i"].alias("id1"),
+                F.col(id_col).alias("id2"),
+                hamming(F.col("_bmin")["s"], F.col("simhash")).alias("hamming"),
+            )
+        )
+    left = small.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "chunk_idx", "chunk"
     )
-    right = exploded.select(
+    right = small.select(
         F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "chunk_idx", "chunk"
     )
-    return (
+    quad = (
         left.join(right, ["chunk_idx", "chunk"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", hamming(F.col("sh1"), F.col("sh2")).alias("hamming"))
-        .dropDuplicates(["id1", "id2"])
     )
+    pairs = quad if star is None else quad.unionByName(star)
+    return pairs.dropDuplicates(["id1", "id2"])

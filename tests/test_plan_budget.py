@@ -55,7 +55,11 @@ BUDGETS = {
     "wl_q6_revenue_delta": 1,
     "wl_scd2_history": 1,
     "wl_session_paths": 1,
-    "llm_cosine_topk": 1,
+    # 2 = salted two-phase top-k: the fat rank runs at corpus-scan
+    # parallelism over (probe, salt); the second exchange re-ranks
+    # only S×k survivor rows per probe (round-7 sf10 finding: one
+    # window over probe_id alone = n_probes-task sort bottleneck)
+    "llm_cosine_topk": 2,
     "llm_bm25": 1,
     "llm_pack_sequences": 1,
     "layout_zorder": 1,  # narrow bit-interleave map + one z-range agg
@@ -90,13 +94,19 @@ BUDGETS = {
     "wl_cdc_apply": 3,
     "ts_minmax_decimate": 3,
     "join_bloom_prune": 3,
-    "llm_simhash": 3,
+    # 6 = r7 star-degrade: the hot-bucket width window partitions on
+    # the SAME (chunk_idx, chunk) key the candidate join shuffles on,
+    # and the quad-join branches are identical subtrees — the static
+    # plan counts them separately, the runtime collapses them to
+    # ReusedExchange.  Bought: sf10 on the low-entropy corpus went
+    # 883 s -> 11 s (quadratic hot buckets -> O(k) stars).
+    "llm_simhash": 6,
     "llm_dedup_embed": 3,
     "llm_inverted_index": 3,
     "llm_jaccard_pairs": 3,
     "llm_decontaminate": 3,
     "wl_dau_wau_mau": 4,
-    "llm_dedup_near": 5,
+    "llm_dedup_near": 6,  # +1 vs r6: star-degrade width window (see llm_simhash)
     "llm_tfidf": 5,
     "llm_langid": 5,
     "llm_bigram_lm": 5,
