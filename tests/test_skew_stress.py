@@ -151,3 +151,36 @@ def test_components_converge_fast_on_planted_clusters(skew_docs):
         assert diff == 0
     finally:
         edges.unpersist()
+
+
+def test_hot_bucket_star_degrade_bounds_pairs_and_keeps_connectivity(spark):
+    """A k-member hot cluster (identical text, k far over the width
+    bound) must yield O(k) candidates — not k^2/2 — and connected
+    components over the verified pairs must still reassemble the WHOLE
+    cluster through the star representative.  This is the round-7
+    semantics change: over-width buckets degrade to stars instead of
+    being dropped (which lost the cluster entirely) or pairing
+    quadratically (which filled the disk on the sf10 ladder)."""
+    k, n_noise = 400, 200  # width bound is 256
+    rows = [(i, "hot boilerplate text shared by every member row") for i in range(k)]
+    # noise docs with per-doc-unique vocabulary (no shared shingles,
+    # so they cannot legitimately pair with anything)
+    rows += [
+        (k + i, " ".join(f"x{i}q{j}z{i}" for j in range(8)))
+        for i in range(n_noise)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = with_shingle_hashes(docs)
+    sig = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sig)  # default max_bucket_size=256
+    n_cands = cands.count()
+    # O(k): one star per band (identical docs share every bucket), so
+    # <= bands * (k-1) pairs; the quadratic count would be 79.8k
+    assert n_cands <= 16 * (k - 1), n_cands
+    assert n_cands >= k - 1
+    verified = near_duplicates(docs, threshold=0.5)
+    labels = connected_components(verified)
+    hot = labels.filter(F.col("id") < k)
+    # every hot member is in ONE component (connectivity preserved)
+    assert hot.count() == k
+    assert hot.select("comp").distinct().count() == 1
