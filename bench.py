@@ -1,7 +1,17 @@
 """Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints the FULL payload (headline + streaming + scale curve) as one
+JSON line first, writes the same payload to ``BENCH_FULL.json``, and
+then — after ``spark.stop()`` so no JVM/console-progress noise can
+trail it — prints a COMPACT headline-only JSON line LAST:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "mode": ..., "full": "BENCH_FULL.json"}
+
+The driver's artifact capture keeps only the final ~2 KB of combined
+output and parses the JSON line it finds there (round 7's single
+6 KB line came back ``parsed: null``); the compact last line is sized
+(~1.6 KB at 60 queries, 2-decimal timings, compact separators) to fit
+that window, and the sidecar file carries the curve detail.
 
 Execution is forced with a full collect (mirrors the driver's verify,
 which collects results for hashing).  Each query is timed individually
@@ -284,8 +294,31 @@ def main() -> None:
         out["streaming"] = streaming
     if curve is not None:
         out["scale_curve"] = curve
+    # Full payload: sidecar file + first (human/audit) line.
+    (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
+    sys.stdout.flush()
     spark.stop()
+    # Compact headline line LAST — after spark.stop() so shutdown logs
+    # and console-progress stderr cannot land after it in the driver's
+    # combined-output tail capture.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": sf,
+        "mode": mode,
+        "full": "BENCH_FULL.json",
+    }
+    if streaming is not None:
+        compact["streaming_total_sec"] = streaming["value"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never regress past the capture window again
+        compact["queries"] = {n: int(v) for n, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,47 @@
+"""Guards for the driver-facing bench artifact contract.
+
+Round 7's BENCH_r07.json came back ``parsed: null`` because bench's
+single JSON line outgrew the driver's ~2 KB combined-output tail
+capture.  bench.py now prints a compact headline-only line LAST;
+these tests pin that the compact line stays inside the window even at
+worst-case timing widths, without running Spark.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _compact_line(value: float) -> str:
+    compact = {
+        "metric": "headline_suite_wall_clock",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: value for n in bench.HEADLINE},
+        "sf": 0.1,
+        "mode": "collect",
+        "full": "BENCH_FULL.json",
+        "streaming_total_sec": 999.999,
+    }
+    return json.dumps(compact, separators=(",", ":"))
+
+
+def test_compact_line_fits_driver_tail_window():
+    # Worst realistic width: every query at a 4-digit-second timing
+    # with 2 decimals.  The driver keeps ~2000 chars; bench guards at
+    # 1900 and degrades to integer seconds past that.
+    line = _compact_line(9999.99)
+    assert len(line) < 1900, (
+        f"compact bench line is {len(line)} chars; it will be "
+        "front-truncated out of the driver's tail capture — trim the "
+        "HEADLINE list or tighten the compact encoding"
+    )
+
+
+def test_compact_line_is_parseable_json_with_contract_keys():
+    parsed = json.loads(_compact_line(1.23))
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
