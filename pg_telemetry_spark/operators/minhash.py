@@ -85,7 +85,11 @@ def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     if max_bucket_size is None:
         left = banded.select(F.col(id_col).alias("id1"), "band", "bucket")
         right = banded.select(F.col(id_col).alias("id2"), "band", "bucket")
-        return left.join(right, ["band", "bucket"]).filter(F.col("id1") < F.col("id2"))
+        return (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+        )
     w = Window.partitionBy("band", "bucket")
     sized = banded.select(
         F.col(id_col),
@@ -230,6 +234,39 @@ def near_duplicates(
     )
 
 
+def bucket_stats(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(band, bucket, size, min_id)`` summary of a bucket table.
+
+    One row per distinct (band, bucket) — 3 longs beside the key, so
+    the table is a small fraction of the bucket index itself.  It is
+    the state that lets an incremental probe apply the hot-bucket
+    star degrade WITHOUT re-scanning or re-windowing the full bucket
+    index: sizes and min ids are read here, maintained incrementally
+    via :func:`merge_bucket_stats`.
+    """
+    return buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("size"), F.min(id_col).alias("min_id")
+    )
+
+
+def merge_bucket_stats(base_stats: DataFrame, delta_stats: DataFrame) -> DataFrame:
+    """Fold a delta's bucket stats into the base stats table.
+
+    This is the index-MAINTENANCE write path (the analogue of the
+    caller unioning the shingle/signature/bucket delta rows into their
+    tables): a union + re-aggregate that shuffles only the compact
+    stats rows (key + 2 longs per distinct bucket), never the bucket
+    index.  At warehouse scale this is a storage-side ``MERGE INTO``
+    on the (band, bucket) key, touching only the delta's partitions.
+    """
+    u = base_stats.select("band", "bucket", "size", "min_id").unionByName(
+        delta_stats.select("band", "bucket", "size", "min_id")
+    )
+    return u.groupBy("band", "bucket").agg(
+        F.sum("size").alias("size"), F.min("min_id").alias("min_id")
+    )
+
+
 def lsh_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -237,20 +274,23 @@ def lsh_index(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Materializable LSH index for a corpus:
-    ``(shingles, signatures, buckets)``.
+    ``(shingles, signatures, buckets, stats)``.
 
     ``shingles``   = (id, shingle_hashes)    — the exact-verify side;
     ``signatures`` = (id, mh: array<bigint>) — the estimate prefilter;
-    ``buckets``    = (id, band, bucket)      — the probe side.
+    ``buckets``    = (id, band, bucket)      — the probe side;
+    ``stats``      = (band, bucket, size, min_id) — hot-bucket guard
+    state (:func:`bucket_stats`), so the probe never re-derives bucket
+    widths from the full index.
 
-    At warehouse scale all three are tables partitioned/bucketed on
-    their join keys (bucket for probes, id for the others), written
-    once per ingest batch; they are exactly the state an incremental
-    dedup needs, so a 100 TB corpus is indexed once and each daily
-    delta only probes, never re-scans history.  Signatures cost
-    num_perm longs per doc — negligible beside the shingle sets.
+    At warehouse scale all four are tables partitioned/bucketed on
+    their join keys (bucket for probes/stats, id for the others),
+    written once per ingest batch; they are exactly the state an
+    incremental dedup needs, so a 100 TB corpus is indexed once and
+    each daily delta only probes, never re-scans history.  Signatures
+    cost num_perm longs per doc — negligible beside the shingle sets.
     """
     sh = with_shingle_hashes(docs, shingle, text_col).select(id_col, "shingle_hashes")
     sig = minhash_signatures(sh, id_col, num_perm)
@@ -265,13 +305,14 @@ def lsh_index(
     sigs = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh{s}") for s in range(num_perm)]).alias("mh")
     )
-    return sh, sigs, buckets
+    return sh, sigs, buckets, bucket_stats(buckets, id_col)
 
 
 def incremental_near_duplicates(
     index_shingles: DataFrame,
     index_signatures: DataFrame,
     index_buckets: DataFrame,
+    index_bucket_stats: DataFrame,
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -280,52 +321,114 @@ def incremental_near_duplicates(
     bands: int = DEFAULT_BANDS,
     shingle: int = DEFAULT_SHINGLE,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    persist_intermediates: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Dedup a delta against an existing corpus index.
 
-    Returns ``(pairs, shingles_delta, signatures_delta,
-    buckets_delta)``: every verified near-dup pair that involves at
+    Returns ``(pairs, shingles_delta, signatures_delta, buckets_delta,
+    stats_delta)``: every verified near-dup pair that involves at
     least one new doc (new-vs-old and new-vs-new), plus the index rows
     for the new docs so the caller can append them (union / INSERT
-    INTO) for the next delta.
+    INTO), and the delta's bucket stats to fold into the stats table
+    with :func:`merge_bucket_stats`, for the next delta.
 
-    Only the delta is shingled and hashed; history is touched solely
-    through three equi-joins — bucket-probe (on the LSH bucket key),
-    signature prefilter, and Jaccard-verify (on doc id) — so
-    per-batch cost is O(delta + collisions), independent of corpus
-    size.  That is the property that keeps continuous ingest dedup
-    viable at 100 TB: the heavy O(corpus) work happened once, at
-    index build.
+    Only the delta is shingled and hashed, and — the property that
+    keeps continuous ingest viable at 100 TB — **no shuffle in this
+    plan ever carries more than O(delta + collisions) rows**.  The
+    four history tables are touched exclusively on the streamed side
+    of broadcast joins (probe, hot-bucket admission, semi-join
+    pruning), so the full bucket/signature/shingle indexes are
+    scanned but never exchanged; at warehouse scale those scans are
+    additionally partition-pruned by the storage layout (buckets
+    partitioned on the bucket key, shingles/signatures on id).  The
+    hot-bucket star degrade reads widths from ``index_bucket_stats``
+    (maintained incrementally, see :func:`bucket_stats`) merged with
+    the delta's own stats — it does NOT re-window the bucket index.
+
+    Broadcast sizing: the broadcast payloads are the delta's bucket
+    keys/rows (O(|delta| x bands)) and the candidate pair ids
+    (O(collisions)) — for a daily-delta ingest both are orders of
+    magnitude below the corpus; a delta so large that they exceed
+    broadcast limits should be indexed with a fresh ``lsh_index`` +
+    batch :func:`near_duplicates` run instead.
+
+    Hot buckets keep THREE representatives joinable: the global min,
+    the min *base-side* member, and (via the probe side being
+    unfiltered) every delta doc — so a delta doc landing in a hot
+    bucket always links to the indexed cluster's representative even
+    when the delta now holds the bucket's global min id.
     """
-    sh_new, sg_new, bk_new = lsh_index(
+    sh_new, sg_new, bk_new, st_new = lsh_index(
         new_docs, id_col, text_col, num_perm, bands, shingle
     )
-    sh_new = sh_new.persist()
-    sg_new = sg_new.persist()
-    bk_new = bk_new.persist()
+    if persist_intermediates:
+        # multi-consumer delta frames (plan-shape tests pass False so
+        # the raw plan stays auditable, no InMemoryRelation boundaries)
+        sh_new = sh_new.persist()
+        sg_new = sg_new.persist()
+        bk_new = bk_new.persist()
+        st_new = st_new.persist()
+    _p = (lambda df: df.persist()) if persist_intermediates else (lambda df: df)
 
-    # Hot-bucket bound on the indexed side (sized over base+delta):
-    # buckets up to max_bucket_size join whole, so each probe row fans
-    # out at most max_bucket_size ways; wider buckets collapse to
-    # their min-id representative — the probe still connects to the
-    # hot cluster (and gets exact-verified against it) instead of the
-    # bucket silently vanishing, mirroring _bucket_pairs' star degrade.
-    all_buckets = index_buckets.unionByName(bk_new)
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "bucket")
-        all_buckets = (
-            all_buckets.withColumn("_bsize", F.count("*").over(wb))
-            .withColumn("_bmin", F.min(id_col).over(wb))
+        # Base stats for ONLY the buckets the delta touches: left-semi
+        # against a broadcast of the delta's bucket keys streams the
+        # stats table without an exchange and yields an O(delta)-keyed
+        # frame; merging with the delta stats is then a small groupBy.
+        touched_base = index_bucket_stats.join(
+            F.broadcast(st_new.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        merged = (
+            touched_base.withColumn("_is_base", F.lit(True))
+            .unionByName(st_new.withColumn("_is_base", F.lit(False)))
+            .groupBy("band", "bucket")
+            .agg(
+                F.sum("size").alias("_bsize"),
+                F.min("min_id").alias("_bmin"),
+                F.min(F.when(F.col("_is_base"), F.col("min_id"))).alias(
+                    "_bmin_base"
+                ),
+            )
+        )
+        adm = F.broadcast(merged)
+        # Admission mirrors _bucket_pairs' star degrade, except a hot
+        # bucket keeps BOTH the global min and the min base member:
+        # if the delta supplies the new global min, base members would
+        # otherwise all be dropped and new docs could never link to
+        # the already-indexed cluster through this bucket.
+        base_adm = (
+            index_buckets.join(adm, ["band", "bucket"])
+            .filter(
+                (F.col("_bsize") <= max_bucket_size)
+                | (F.col(id_col) == F.col("_bmin"))
+                | (F.col(id_col) == F.col("_bmin_base"))
+            )
+            .select(id_col, "band", "bucket")
+        )
+        delta_adm = (
+            bk_new.join(adm, ["band", "bucket"])
             .filter(
                 (F.col("_bsize") <= max_bucket_size)
                 | (F.col(id_col) == F.col("_bmin"))
             )
-            .drop("_bsize", "_bmin")
+            .select(id_col, "band", "bucket")
         )
-    probe = bk_new.select(F.col(id_col).alias("id_n"), "band", "bucket")
-    other = all_buckets.select(F.col(id_col).alias("id_o"), "band", "bucket")
+        other = base_adm.unionByName(delta_adm)
+    else:
+        other = index_buckets.select(id_col, "band", "bucket").unionByName(
+            bk_new.select(id_col, "band", "bucket")
+        )
+
+    # Probe join: broadcast the DELTA side so the (possibly pruned)
+    # history buckets stream through a BroadcastHashJoin — no exchange
+    # over the index.  Probe side stays unfiltered: every new doc
+    # probes, hot or not.
+    probe = F.broadcast(bk_new.select(F.col(id_col).alias("id_n"), "band", "bucket"))
     cands = (
-        probe.join(other, ["band", "bucket"])
+        other.select(F.col(id_col).alias("id_o"), "band", "bucket")
+        .join(probe, ["band", "bucket"])
         .filter(F.col("id_n") != F.col("id_o"))
         .select(
             F.least("id_n", "id_o").alias("id1"),
@@ -333,14 +436,25 @@ def incremental_near_duplicates(
         )
         .dropDuplicates(["id1", "id2"])
     )
+    cands = _p(cands)
+    pair_ids = (
+        cands.select(F.col("id1").alias(id_col))
+        .unionByName(cands.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    bids = F.broadcast(pair_ids)
 
     # signature-estimate prefilter (same margin as near_duplicates):
     # candidate sets are dominated by low-J noise; comparing num_perm
-    # longs is ~8x cheaper than the exact set ops on shingle arrays
+    # longs is ~8x cheaper than the exact set ops on shingle arrays.
+    # Semi-join pruning first: the full signature table streams past a
+    # broadcast of the candidate ids, so the equi-joins that attach
+    # signatures to pairs shuffle only O(collisions) pruned rows.
     est_threshold = max(threshold - 0.15, 0.0)
     all_sigs = index_signatures.unionByName(sg_new)
-    m1 = all_sigs.select(F.col(id_col).alias("id1"), F.col("mh").alias("mh1"))
-    m2 = all_sigs.select(F.col(id_col).alias("id2"), F.col("mh").alias("mh2"))
+    sig_pruned = _p(all_sigs.join(bids, id_col, "left_semi"))
+    m1 = sig_pruned.select(F.col(id_col).alias("id1"), F.col("mh").alias("mh1"))
+    m2 = sig_pruned.select(F.col(id_col).alias("id2"), F.col("mh").alias("mh2"))
     est = F.size(
         F.filter(F.zip_with("mh1", "mh2", lambda a, b: a == b), lambda x: x)
     ) / F.lit(num_perm)
@@ -349,9 +463,13 @@ def incremental_near_duplicates(
         .select("id1", "id2")
     )
 
+    # Exact verify over semi-pruned shingle rows (same no-exchange
+    # discipline; shingle arrays are the widest payload, so pruning
+    # before the pair joins matters most here).
     all_shingles = index_shingles.unionByName(sh_new)
-    s1 = all_shingles.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
-    s2 = all_shingles.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
+    sh_pruned = _p(all_shingles.join(bids, id_col, "left_semi"))
+    s1 = sh_pruned.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
+    s2 = sh_pruned.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     pairs = (
@@ -361,4 +479,4 @@ def incremental_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return pairs, sh_new, sg_new, bk_new
+    return pairs, sh_new, sg_new, bk_new, st_new

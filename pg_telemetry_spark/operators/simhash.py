@@ -17,6 +17,19 @@ Scale: at 100 TB the fingerprint is 8 bytes/doc; Hamming-ball lookup
 is served by pivoting on 4 x 16-bit fingerprint chunks (any pair
 within distance 3 shares at least one exact chunk — the standard
 multi-index trick), which turns near-dup search into 4 equi-joins.
+
+Recall caveat: the shared-chunk guarantee holds EXACTLY only while
+every chunk bucket pairs all-vs-all.  Past ``max_bucket_size`` a hot
+bucket degrades to star pairing, so two non-min members of that
+bucket lose their direct pair and must surface through one of the
+other chunks — with only ``chunks``-fold redundancy (4 here, vs 16
+LSH bands in minhash.py), candidate recall on hot buckets is
+therefore APPROXIMATE, not guaranteed.  The default bound is 1024
+(4x the LSH default): simhash star/quad pairs carry two longs, not
+two 64-long signature arrays, so a 1024-wide bucket's ~500k
+quadratic pairs cost ~12 MB — cheap insurance for the weaker
+redundancy.  Dense clusters always stay connected through the
+representative, which is what the downstream CC pass consumes.
 """
 
 from __future__ import annotations
@@ -59,7 +72,7 @@ def simhash_chunk_candidates(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     chunks: int = 4,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 exact 16-bit fingerprint chunk (the
     multi-index Hamming-ball trick: distance ≤ chunks-1 guarantees a

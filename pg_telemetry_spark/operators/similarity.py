@@ -72,8 +72,11 @@ def brute_force_topk(
         )
     )
     order = (F.col("sim").desc(), F.col("neighbor_id"))
+    # Salt on xxhash64(neighbor_id) (not neighbor_id % S): type-
+    # agnostic — string id columns work — and uniform even when ids
+    # are strided or clustered.
     w1 = Window.partitionBy(
-        probe_id_col, F.pmod(F.col("neighbor_id"), F.lit(n_salts))
+        probe_id_col, F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts))
     ).orderBy(*order)
     survivors = (
         sims.withColumn("rn", F.row_number().over(w1))

@@ -92,7 +92,7 @@ _Z_TERMS = " + ".join(
     oracle=f"""
 WITH dims AS (
   SELECT user_id % 256 AS a,
-         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256 AS b
+         ((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256) + 256) % 256 AS b
   FROM {EVENTS_V} e
 ), z AS (
   SELECT a, b, ({_Z_TERMS}) AS zval FROM dims
@@ -124,10 +124,14 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit that the resulting clustering is tight, and doubles as the
     z-value kernel that write path reuses."""
     e = load_table(spark, sf_dir, "events")
+    # pmod, not %: datediff is negative for pre-epoch events, and a
+    # negative b corrupts the bit interleave (shiftright/AND on a
+    # negative day index) — the fixtures happen to start at the epoch
+    # date, but the kernel must not depend on that.
     dims = e.select(
         (F.col("user_id") % 256).alias("a"),
-        (
-            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 256
+        F.pmod(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")), F.lit(256)
         ).alias("b"),
     )
     zval = None

@@ -133,13 +133,24 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "diminishing returns" corpus pruning — documents whose grams are
     all already covered add little to a training mix.
 
-    Scale shape: one shuffle on the gram key (the window min needs no
-    ordering, so it is a plain partition-wide aggregate, not a sort),
-    then one shuffle back to doc_id.  At 100 TB the gram key is
-    hashed (shuffle 8-byte keys, not strings) and first_doc becomes a
-    materialized gram index — exactly the incremental-dedup index
-    shape that llm_dedup_incr already maintains."""
+    Scale shape: one shuffle on the HASHED gram key (xxhash64 — the
+    exchange moves 8-byte longs, not ~30-char gram strings; measured
+    shuffle-write reduction recorded by tools/measure_curation_keys.py
+    and BASELINE.md), where the window min needs no ordering so it is
+    a plain partition-wide aggregate, not a sort; then one shuffle
+    back to doc_id.  Collisions are never resolved: a 64-bit clash
+    merges two grams' first-doc groups, with probability ~n²/2⁶⁵ —
+    below 1e-6 even at 10¹² distinct grams.  At 100 TB first_doc
+    becomes a materialized gram index — exactly the incremental-dedup
+    index shape that llm_dedup_incr already maintains."""
     d = load_table(spark, sf_dir, "documents")
+    return _novelty_report(d)
+
+
+def _novelty_report(d: DataFrame, hash_keys: bool = True) -> DataFrame:
+    """Novelty pipeline; ``hash_keys=False`` keeps the raw gram string
+    as the shuffle key (the pre-r8 shape, kept for the shuffle-bytes
+    measurement tool)."""
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
     grams = toks.select(
         "doc_id",
@@ -147,6 +158,8 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g"
         ),
     )
+    if hash_keys:
+        grams = grams.select("doc_id", F.xxhash64("g").alias("g"))
     firsts = grams.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
     return firsts.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
@@ -271,13 +284,25 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate (headers, licenses, navigation) is stripped by even
     when whole-document dedup keeps both documents.
 
-    Scale shape: one shuffle partitioned by the chunk value (at
-    100 TB, by xxhash64(chunk) so the exchange moves 8-byte keys, and
-    the winner per hash is an arg-min aggregate rather than a sorted
-    window), then one shuffle back to doc_id for the report.  No
-    self-join: ownership is decided inside a single window/aggregate
-    over the chunk partition."""
+    Scale shape: one shuffle partitioned by xxhash64(chunk) — the
+    exchange moves 8-byte keys instead of ~45-char chunk strings
+    (measured reduction: tools/measure_curation_keys.py, BASELINE.md)
+    — where the winner per key is an UNSORTED arg-min aggregate
+    (min of a (doc_id, chunk_idx) struct over the partition), not a
+    sorted row_number window; then one shuffle back to doc_id for the
+    report.  Collisions are never resolved: a clash hands a chunk's
+    ownership to a different chunk's first owner with probability
+    ~n²/2⁶⁵ — negligible at any feasible corpus.  No self-join:
+    ownership is decided inside a single window/aggregate over the
+    chunk partition."""
     d = load_table(spark, sf_dir, "documents")
+    return _chunk_dedup_report(d)
+
+
+def _chunk_dedup_report(d: DataFrame, hash_keys: bool = True) -> DataFrame:
+    """Chunk-dedup pipeline; ``hash_keys=False`` keeps the raw chunk
+    string as the shuffle key and a sorted row_number window (the
+    pre-r8 shape, kept for the shuffle-bytes measurement tool)."""
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     chunks = toks.select(
         "doc_id",
@@ -288,12 +313,21 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    if hash_keys:
+        keyed = chunks.select(
+            "doc_id", "chunk_idx", F.xxhash64("chunk").alias("ck")
+        )
+        owner = F.min(F.struct("doc_id", "chunk_idx")).over(Window.partitionBy("ck"))
+        ranked = keyed.withColumn(
+            "is_first", F.struct("doc_id", "chunk_idx") == owner
+        )
+    else:
+        w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+        ranked = chunks.withColumn("is_first", F.row_number().over(w) == 1)
     return ranked.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
-        F.count_if(F.col("rn") == 1).alias("n_kept"),
-        F.round(F.count_if(F.col("rn") == 1).cast("double") / F.count("*"), 6).alias(
+        F.count_if("is_first").alias("n_kept"),
+        F.round(F.count_if("is_first").cast("double") / F.count("*"), 6).alias(
             "retained_frac"
         ),
     )

@@ -415,19 +415,20 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incr_base_index(spark: SparkSession, sf_dir: str):
     """Pre-built LSH index of the base corpus (shingles, signatures,
-    buckets), persisted AND materialized once per session.  Real
-    systems pay index build once at ingest and amortize it over every
-    delta; benching the probe without this would re-bill the O(corpus)
-    build to each run (it dominated r1's bench at 10.2 s)."""
+    buckets, bucket stats), persisted AND materialized once per
+    session.  Real systems pay index build once at ingest and amortize
+    it over every delta; benching the probe without this would re-bill
+    the O(corpus) build to each run (it dominated r1's bench at
+    10.2 s)."""
     from pg_telemetry_spark.operators.minhash import lsh_index
     from pg_telemetry_spark.queries.llm import _SHARED
 
     app = app_id(spark)
-    keys = [(app, "incr_base_index", sf_dir, which) for which in range(3)]
+    keys = [(app, "incr_base_index", sf_dir, which) for which in range(4)]
     if not all(k in _SHARED for k in keys):
-        # build the three tables from ONE pipeline run (shingles feed
-        # signatures feed buckets — separate builds would re-shingle
-        # the corpus three times), persist and materialize each
+        # build the four tables from ONE pipeline run (shingles feed
+        # signatures feed buckets feed stats — separate builds would
+        # re-shingle the corpus four times), persist and materialize
         corpus = _near_dup_corpus(spark, sf_dir)
         base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
         for k, df in zip(keys, lsh_index(base)):
@@ -447,11 +448,11 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-pairs ∪ delta-pairs == full rebuild."""
     from pg_telemetry_spark.operators.minhash import incremental_near_duplicates
 
-    sh_idx, sg_idx, bk_idx = _incr_base_index(spark, sf_dir)
+    sh_idx, sg_idx, bk_idx, st_idx = _incr_base_index(spark, sf_dir)
     corpus = _near_dup_corpus(spark, sf_dir)
     delta = corpus.filter(F.col("doc_id") >= _DUP_OFFSET)
-    pairs, _sh, _sg, _bk = incremental_near_duplicates(
-        sh_idx, sg_idx, bk_idx, delta, threshold=0.5
+    pairs, _sh, _sg, _bk, _st = incremental_near_duplicates(
+        sh_idx, sg_idx, bk_idx, st_idx, delta, threshold=0.5
     )
     return pairs
 

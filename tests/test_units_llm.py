@@ -122,9 +122,9 @@ def test_incremental_dedup_equals_full_rebuild(spark, sf_dir):
         (r.id1, r.id2, r.jaccard)
         for r in near_duplicates(base, threshold=0.5).collect()
     }
-    sh_idx, sg_idx, bk_idx = lsh_index(base)
-    inc_pairs, sh_d, sg_d, bk_d = incremental_near_duplicates(
-        sh_idx, sg_idx, bk_idx, delta, threshold=0.5
+    sh_idx, sg_idx, bk_idx, st_idx = lsh_index(base)
+    inc_pairs, sh_d, sg_d, bk_d, st_d = incremental_near_duplicates(
+        sh_idx, sg_idx, bk_idx, st_idx, delta, threshold=0.5
     )
     inc = {(r.id1, r.id2, r.jaccard) for r in inc_pairs.collect()}
 
