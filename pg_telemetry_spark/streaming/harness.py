@@ -19,6 +19,7 @@ import contextlib
 import tempfile
 from dataclasses import dataclass, field
 from pathlib import Path
+from typing import ClassVar
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -50,6 +51,15 @@ class FileStreamHarness:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
     _batch_no: int = 0
+
+    #: Class-level progress capture: every ``run_available`` appends
+    #: one summary dict per completed run ({query name, batch
+    #: durations, state rows/bytes totals from the last progress}).
+    #: tools/measure_streaming_scale.py drains this to report
+    #: state-store size + batch latency per operator at a given SF —
+    #: a list on the CLASS (ClassVar) so query functions need no API
+    #: change and dataclass treats it as shared state, not a field.
+    progress_log: ClassVar[list] = []
 
     @contextlib.contextmanager
     def sized_shuffle(self):
@@ -115,4 +125,29 @@ class FileStreamHarness:
                 .start()
             )
             q.awaitTermination()
+            self._log_progress(name, q)
         return captured
+
+    def _log_progress(self, name: str, q) -> None:
+        """Summarize the finished run's progress into progress_log."""
+        try:
+            progresses = [p for p in q.recentProgress if p]
+        except Exception:
+            return
+        batches = [
+            {
+                "batch_id": p.get("batchId"),
+                "duration_ms": p.get("batchDuration"),
+                "input_rows": p.get("numInputRows"),
+                "state_rows": sum(
+                    s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
+                ),
+                "state_bytes": sum(
+                    s.get("memoryUsedBytes", 0) for s in p.get("stateOperators", [])
+                ),
+            }
+            for p in progresses
+        ]
+        FileStreamHarness.progress_log.append(
+            {"name": name, "provider": self.state_store_provider, "batches": batches}
+        )
