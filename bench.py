@@ -115,6 +115,11 @@ HEADLINE = [
     "llm_domain_mix",
     "llm_chunk_dedup",
     "layout_zorder",
+    # round-8: curation completions (weighted sampling, templated-
+    # prefix dedup, split-leakage audit)
+    "llm_quality_sample",
+    "llm_prefix_dedup",
+    "llm_cross_split_leak",
 ]
 
 

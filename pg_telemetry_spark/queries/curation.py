@@ -1,12 +1,13 @@
-"""Corpus-curation operators (round 7): the filters a pretraining
+"""Corpus-curation operators (rounds 7-8): the filters a pretraining
 data pipeline runs AFTER dedup/quality — repetition screens, marginal
-novelty, mixture resampling, and sub-document dedup.
+novelty, mixture resampling, sub-document dedup, quality-weighted
+sampling, templated-prefix dedup, and cross-split leakage audit.
 
-All four are tier A (full DuckDB hash oracle).  Design notes per op
+All seven are tier A (full DuckDB hash oracle).  Design notes per op
 explain why the shape holds at 100 TB; the common theme is that
 per-document features stay NARROW (higher-order array functions, no
 explode/shuffle) and the corpus-global ops shuffle exactly once on
-their natural key.
+their natural key — hashed to 8 bytes where the key is a string.
 """
 
 from __future__ import annotations
@@ -329,5 +330,193 @@ def _chunk_dedup_report(d: DataFrame, hash_keys: bool = True) -> DataFrame:
         F.count_if("is_first").alias("n_kept"),
         F.round(F.count_if("is_first").cast("double") / F.count("*"), 6).alias(
             "retained_frac"
+        ),
+    )
+
+
+_MD5_BUCKET_SQL = """(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*256
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*16
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),3,1))-1)"""
+
+
+def _md5_bucket() -> F.Column:
+    """12-bit engine-independent hash bucket of doc_id (0..4095) —
+    the same md5-hex kernel llm_split_hash / llm_domain_mix use, so
+    membership decisions reproduce exactly on any engine."""
+    hexd = "0123456789abcdef"
+    return (
+        (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1)
+        * 256
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 2, 1))") - 1)
+        * 16
+        + (F.expr(f"instr('{hexd}', substring(md5(CAST(doc_id AS STRING)), 3, 1))") - 1)
+    )
+
+
+@query(
+    "llm_quality_sample",
+    group="curation",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         {_MD5_BUCKET_SQL} AS bucket
+  FROM documents
+), t AS (
+  SELECT doc_id, source,
+         CAST(bucket AS BIGINT) * 2048 < 4096 * least(n_chars, 2048) AS keep
+  FROM b
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*), 6)
+           AS keep_rate,
+       min(doc_id) FILTER (WHERE keep) AS min_kept_doc
+FROM t GROUP BY source
+""",
+)
+def llm_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept
+    with probability proportional to a per-document quality weight
+    (here min(n_chars, 2048)/2048 — in production the weight column is
+    a quality-classifier score), decided by pure integer arithmetic on
+    an md5 hash bucket: keep iff bucket * 2048 < 4096 * w_int.  This
+    is the per-document generalization of llm_domain_mix's per-source
+    thresholds — CCNet/FineWeb-style score-weighted downsampling with
+    engine-reproducible membership and NO rand().
+
+    Scale shape: a pure narrow map over the scan (the weight and the
+    keep decision are row-local) plus one small hash-agg on source;
+    zero joins, zero windows.  At 100 TB the keep flag is computed on
+    write and the sampled corpus is a predicate-pushdown filter."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = _md5_bucket().cast("bigint") * 2048 < F.lit(4096) * F.least(
+        F.col("n_chars"), F.lit(2048)
+    )
+    t = d.select("doc_id", "source", keep.alias("keep"))
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if("keep").alias("n_kept"),
+        F.round(F.count_if("keep").cast("double") / F.count("*"), 6).alias(
+            "keep_rate"
+        ),
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("min_kept_doc"),
+    )
+
+
+@query(
+    "llm_prefix_dedup",
+    group="curation",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS prefix
+  FROM documents
+), owned AS (
+  SELECT doc_id, source,
+         doc_id = min(doc_id) OVER (PARTITION BY prefix) AS is_owner
+  FROM p
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE NOT is_owner) AS n_prefix_dups,
+       round(CAST(count(*) FILTER (WHERE NOT is_owner) AS DOUBLE) / count(*), 6)
+           AS dup_rate,
+       min(doc_id) FILTER (WHERE NOT is_owner) AS min_dup_doc
+FROM owned GROUP BY source
+""",
+)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-document screen: documents sharing their first 16
+    tokens (boilerplate headers, mirrored articles with edited tails)
+    collapse to the smallest doc_id owner; reports per-source
+    duplicate mass.  Catches the template class that whole-document
+    exact dedup misses (tails differ) far cheaper than MinHash — this
+    is the standard cheap pass BEFORE near-dup in a pretraining
+    pipeline.
+
+    Scale shape: one shuffle on xxhash64(prefix) — 8-byte keys, the
+    same hashed-key discipline as llm_chunk_dedup (collisions merge
+    two prefix groups with probability ~n²/2⁶⁵, never resolved) —
+    where ownership is an UNSORTED min over the partition; then one
+    hash-agg on source.  No self-join, no sort."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "source",
+        F.xxhash64(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16))).alias("pk"),
+    )
+    owner = F.min("doc_id").over(Window.partitionBy("pk"))
+    owned = p.withColumn("is_owner", F.col("doc_id") == owner)
+    return owned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(~F.col("is_owner")).alias("n_prefix_dups"),
+        F.round(F.count_if(~F.col("is_owner")).cast("double") / F.count("*"), 6).alias(
+            "dup_rate"
+        ),
+        F.min(F.when(~F.col("is_owner"), F.col("doc_id"))).alias("min_dup_doc"),
+    )
+
+
+@query(
+    "llm_cross_split_leak",
+    group="curation",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, text,
+         {_MD5_BUCKET_SQL} AS bucket
+  FROM documents
+), tagged AS (
+  SELECT md5(text) AS th,
+         CASE WHEN bucket < 3277 THEN 'train'
+              WHEN bucket < 3686 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+), per_hash AS (
+  SELECT th, split, count(*) AS n FROM tagged GROUP BY th, split
+), spans AS (
+  SELECT th, count(*) AS n_splits FROM per_hash GROUP BY th
+)
+SELECT split,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n) FILTER (WHERE n_splits > 1) AS BIGINT) AS n_leaked,
+       round(CAST(coalesce(sum(n) FILTER (WHERE n_splits > 1), 0) AS DOUBLE)
+             / sum(n), 6) AS leak_rate
+FROM per_hash JOIN spans USING (th)
+GROUP BY split
+""",
+)
+def llm_cross_split_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: using the SAME deterministic 80/10/10
+    md5 split as llm_split_hash, count the documents whose exact text
+    also appears (verbatim copy) in a DIFFERENT split.  Exact-dup
+    leakage across splits is the first decontamination gate — if the
+    split was drawn per-document instead of per-content, duplicated
+    texts straddle the boundary and inflate eval scores.
+
+    Scale shape: group by md5(text) — one shuffle carrying a 32-char
+    digest per doc, never the text — then an aggregated-by-hash join
+    of two SMALL frames (one row per (hash, split) / per hash) and a
+    final 3-row agg.  At 100 TB the per-hash table is the exact-dedup
+    index llm_dedup_exact already materializes, so the audit is a
+    join on an existing artifact."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket()
+    tagged = d.select(
+        F.md5("text").alias("th"),
+        F.when(bucket < 3277, "train")
+        .when(bucket < 3686, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_hash = tagged.groupBy("th", "split").agg(F.count("*").alias("n"))
+    spans = per_hash.groupBy("th").agg(F.count("*").alias("n_splits"))
+    joined = per_hash.join(spans, "th")
+    leaked_n = F.sum(F.when(F.col("n_splits") > 1, F.col("n")))
+    return joined.groupBy("split").agg(
+        F.sum("n").alias("n_docs"),
+        leaked_n.alias("n_leaked"),
+        F.round(F.coalesce(leaked_n, F.lit(0)).cast("double") / F.sum("n"), 6).alias(
+            "leak_rate"
         ),
     )

@@ -112,7 +112,16 @@ BUDGETS = {
     "llm_bigram_lm": 5,
     "wl_q21_waiting_supplier": 6,
     "agg_cms_freq": 7,
-    "llm_dedup_incr": 10,  # delta-probe joins against the 3 index tables
+    # r8: the O(delta) probe rewrite RAISED the exchange count (delta
+    # stats groupBy, touched-stats merge, pair-id distinct, and the
+    # small SMJs over semi-pruned signature/shingle rows each add
+    # exchanges) but LOWERED what any exchange may carry: every one of
+    # them moves O(delta + collisions) rows, and the index tables are
+    # touched only on the streamed side of broadcast joins —
+    # tests/test_incr_index_plan.py pins that no exchange sits over an
+    # index scan.  Count is the wrong metric for this plan; the volume
+    # invariant is the budget.
+    "llm_dedup_incr": 18,
 }
 
 
