@@ -120,6 +120,11 @@ HEADLINE = [
     "llm_quality_sample",
     "llm_prefix_dedup",
     "llm_cross_split_leak",
+    # round-8: semantic dedup, retention policy, BPE tokenizer training
+    "llm_semdedup",
+    "llm_keep_best",
+    "llm_bpe_pairs",
+    "llm_bpe_train",
 ]
 
 
@@ -311,7 +316,10 @@ def main() -> None:
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        "queries": {n: round(v, 2) for n, v in timings.items()},
+        # 1-decimal per-query values: the compact line must stay inside
+        # the driver's ~2 KB tail window at any realistic width (67+
+        # names); 3-decimal timings live in BENCH_FULL.json
+        "queries": {n: round(v, 1) for n, v in timings.items()},
         "sf": sf,
         "mode": mode,
         "full": "BENCH_FULL.json",

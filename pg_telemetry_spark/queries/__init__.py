@@ -7,6 +7,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     aggs,
     analytics_ext,
     asof_misc,
+    bpe,
     curation,
     dataeng,
     flagship,

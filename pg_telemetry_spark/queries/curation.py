@@ -520,3 +520,156 @@ def llm_cross_split_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_rate"
         ),
     )
+
+
+@query(
+    "llm_semdedup",
+    group="curation",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c AS (SELECT CAST(vec_id // 32 AS BIGINT) AS cell_id, v AS cv
+      FROM e WHERE vec_id % 32 = 0),
+s AS (SELECT vec_id, v, cell_id, round(list_dot_product(v, cv), 6) AS csim
+      FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v, cell_id FROM s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell_id) = 1),
+p AS (SELECT b.cell_id, b.vec_id
+      FROM a x JOIN a b ON x.cell_id = b.cell_id AND x.vec_id < b.vec_id
+      WHERE round(list_dot_product(x.v, b.v), 6) >= 0.35
+      GROUP BY b.cell_id, b.vec_id)
+SELECT a.cell_id, count(*) AS n_members,
+       count(p.vec_id) AS n_dups,
+       round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 6) AS dup_rate,
+       min(p.vec_id) AS min_dup_vec
+FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+GROUP BY a.cell_id
+""",
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then flag any member whose cosine to a LOWER-id
+    member of the SAME cluster is >= 0.35 as a semantic duplicate;
+    report per-cluster duplicate mass.  Centroids here are the
+    deterministic every-32nd-vector stride (the same coarse quantizer
+    as llm_ann_ivf; production swaps in the k-means centroids) so the
+    oracle reproduces assignments exactly; cross-cluster near-dups are
+    invisible by design — that approximation is WHY the method scales:
+    candidate pairs are confined to cells.
+
+    Scale shape: assignment is a broadcast crossJoin against the K
+    centroids reduced by an unsorted per-vector arg-max (groupBy
+    max_by, no window sort); the pair stage is an equi-self-join ON
+    cell_id — at 100 TB each cell is one shuffle partition and the
+    quadratic term is bounded by the cell width, tunable via K.  The
+    rounded csim (6 dp) keeps assignment ties engine-reproducible."""
+    from pg_telemetry_spark.operators.similarity import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    cents = emb.filter(F.col("vec_id") % 32 == 0).select(
+        (F.col("vec_id") / 32).cast("long").alias("cell_id"),
+        as_double("embedding").alias("cv"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", F.round(dot("v", "cv"), 6)
+    )
+    # arg-max per vector without a sorted window: max_by over a struct
+    # ordered (csim, -cell_id) == "highest sim, ties to smallest cell"
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cell_id", F.struct(F.col("csim"), (-F.col("cell_id")).alias("nc"))
+        ).alias("cell_id"),
+        F.first("v").alias("v"),
+    )
+    x = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("vid1"), F.col("v").alias("v1")
+    )
+    b = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("vid2"), F.col("v").alias("v2")
+    )
+    # per-cell dup stats straight off the pair join (count_distinct
+    # absorbs the multi-partner dedup); per-cell member counts off the
+    # assignment; the final stitch joins two K-row frames — broadcast,
+    # never a row-level join back to the corpus
+    dupagg = (
+        x.join(b, "cell_id")
+        .filter(F.col("vid1") < F.col("vid2"))
+        .filter(F.round(dot("v1", "v2"), 6) >= 0.35)
+        .groupBy("cell_id")
+        .agg(
+            F.count_distinct("vid2").alias("n_dups"),
+            F.min("vid2").alias("min_dup_vec"),
+        )
+    )
+    members = assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    return members.join(F.broadcast(dupagg), "cell_id", "left").select(
+        "cell_id",
+        "n_members",
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        F.round(
+            F.coalesce("n_dups", F.lit(0)).cast("double") / F.col("n_members"), 6
+        ).alias("dup_rate"),
+        "min_dup_vec",
+    )
+
+
+@query(
+    "llm_keep_best",
+    group="curation",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS pfx
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY pfx
+                            ORDER BY n_chars DESC, doc_id) = 1 AS is_kept
+  FROM p
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE is_kept) AS n_kept,
+       CAST(sum(n_chars) FILTER (WHERE is_kept) AS BIGINT) AS chars_kept,
+       CAST(coalesce(sum(n_chars) FILTER (WHERE NOT is_kept), 0) AS BIGINT)
+           AS chars_dropped,
+       min(doc_id) FILTER (WHERE NOT is_kept) AS min_dropped_doc
+FROM r GROUP BY source
+""",
+)
+def llm_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy dedup: within each duplicate cluster keep the
+    BEST document (max n_chars, ties to smallest doc_id) instead of an
+    arbitrary first owner — the policy real pipelines use so dedup
+    doesn't systematically keep the truncated mirror of a page.
+    Cluster key here is the first-2-token head key (a deliberately
+    coarse template cluster so the fixture exercises real multi-doc
+    groups); production swaps in llm_dedup_cc's component labels or
+    llm_prefix_dedup's 16-token key — the policy mechanics are
+    identical for any cluster-label column.
+
+    Scale shape: one shuffle on the 8-byte xxhash64 cluster key where
+    "best" is an UNSORTED max of a (n_chars, -doc_id) struct over the
+    partition (no row_number sort), compared against each row's own
+    struct; then one hash-agg on source."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.xxhash64(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2))).alias("pk"),
+    )
+    me = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    best = F.max(me).over(Window.partitionBy("pk"))
+    r = p.withColumn("is_kept", me == best)
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if("is_kept").alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), F.col("n_chars"))).alias("chars_kept"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_kept"), F.col("n_chars"))), F.lit(0)
+        ).alias("chars_dropped"),
+        F.min(F.when(~F.col("is_kept"), F.col("doc_id"))).alias("min_dropped_doc"),
+    )

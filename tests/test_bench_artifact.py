@@ -30,9 +30,10 @@ def _compact_line(value: float) -> str:
 
 def test_compact_line_fits_driver_tail_window():
     # Worst realistic width: every query at a 4-digit-second timing
-    # with 2 decimals.  The driver keeps ~2000 chars; bench guards at
-    # 1900 and degrades to integer seconds past that.
-    line = _compact_line(9999.99)
+    # with 1 decimal (bench's compact rounding).  The driver keeps
+    # ~2000 chars; bench guards at 1900 and degrades to integer
+    # seconds past that.
+    line = _compact_line(9999.9)
     assert len(line) < 1900, (
         f"compact bench line is {len(line)} chars; it will be "
         "front-truncated out of the driver's tail capture — trim the "

@@ -83,6 +83,17 @@ BUDGETS = {
     # 3 = corpus counts agg + two tiny exchanges over the k-row counts
     # table (whole-frame window + final source agg)
     "llm_domain_mix": 3,
+    # r8: explode to 2-char keys, ONE shuffle (map-side partial agg
+    # collapses each task to <= alphabet^2 rows); top-20 is TakeOrdered
+    "llm_bpe_pairs": 1,
+    # r8: one shuffle on the hashed cluster key (unsorted struct-max
+    # ownership) + one source re-agg
+    "llm_keep_best": 2,
+    # r8: the static plan repeats the assignment subtree (arg-max
+    # groupBy) under both pair-join sides and the member count — the
+    # runtime collapses them to ReusedExchange; every exchange keys on
+    # vec_id or cell_id and the final stitch is a K-row broadcast
+    "llm_semdedup": 6,
     # PPJoin family (r7): plans root at the _shared df-ranked docs
     # relation (same materialized-table shape as llm_dedup_cc); the
     # 3 = prefix self-join sides + candidate distinct

@@ -34,6 +34,7 @@ _EXECUTES = {
 } | {
     "sql_recursive_hierarchy",  # frontier loop runs per-level jobs
     "llm_dedup_incr",  # materializes the base index eagerly
+    "llm_bpe_train",  # merge-round driver loop collects per round
     "src_binaryfile",  # lands files via foreachPartition
     "snk_parquet_part",  # writes a partitioned directory
     "src_jdbc_pg",  # JDBC seam
