@@ -528,8 +528,10 @@ def llm_cross_split_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-c AS (SELECT CAST(vec_id // 32 AS BIGINT) AS cell_id, v AS cv
-      FROM e WHERE vec_id % 32 = 0),
+c AS (SELECT CAST(vec_id // 32 AS BIGINT) % 4096 AS cell_id, v AS cv
+      FROM e WHERE vec_id % 32 = 0
+      QUALIFY row_number() OVER (PARTITION BY CAST(vec_id // 32 AS BIGINT) % 4096
+                                 ORDER BY vec_id) = 1),
 s AS (SELECT vec_id, v, cell_id, round(list_dot_product(v, cv), 6) AS csim
       FROM e CROSS JOIN c),
 a AS (SELECT vec_id, v, cell_id FROM s
@@ -568,9 +570,19 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double("embedding").alias("v"))
-    cents = emb.filter(F.col("vec_id") % 32 == 0).select(
-        (F.col("vec_id") / 32).cast("long").alias("cell_id"),
-        as_double("embedding").alias("cv"),
+    # K is CAPPED at 4096 (min-id representative per cell), so the
+    # broadcast side is constant-size by construction at any corpus
+    # size (<= 4096 x 64 doubles = 2 MB); below 131k vectors this is
+    # exactly the every-32nd-vector stride
+    cents = (
+        emb.filter(F.col("vec_id") % 32 == 0)
+        .select(
+            F.pmod((F.col("vec_id") / 32).cast("long"), F.lit(4096)).alias("cell_id"),
+            "vec_id",
+            as_double("embedding").alias("cv"),
+        )
+        .groupBy("cell_id")
+        .agg(F.min_by("cv", "vec_id").alias("cv"))
     )
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "csim", F.round(dot("v", "cv"), 6)
