@@ -200,6 +200,54 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def assign_nearest_cell(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_col: str = "cell_id",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """(id, cell) nearest-centroid assignment via Arrow-batched BLAS.
+
+    The coarse-quantizer inner loop is n x K dot products — dense
+    linear algebra, not a per-element lambda: one numpy matmul per
+    Arrow batch runs it at memory bandwidth, where the equivalent
+    crossJoin + fold-dot plan evaluates an interpreted 64-element
+    lambda chain per pair (measured 48 s vs ~1 s for 12.5M dots at
+    sf1).  The centroid matrix is collected to the driver and shipped
+    in the task closure exactly like :func:`_hyperplanes`' plane
+    matrix — callers cap K by construction (<= 4096 rows, ~2 MB), so
+    this is the broadcast-side-is-constant pattern, not a corpus
+    collect.  Similarities are rounded to 6 dp and ties break to the
+    SMALLEST cell id (centroid rows are scored in ascending-cell
+    order and argmax takes the first maximum), matching the SQL
+    oracle's ``ORDER BY csim DESC, cell_id`` exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select(cell_col, cvec_col).orderBy(cell_col).collect()
+    cell_ids = np.array([r[0] for r in rows], dtype="int64")
+    cmat = np.array([list(r[1]) for r in rows], dtype="float64")
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            sims = np.round(mat @ cmat.T, 6)
+            best = sims.max(axis=1)
+            idx = (sims == best[:, None]).argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), cell_col: cell_ids[idx]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {cell_col} long"
+    )
+
+
 def _hyperplanes(nbits: int, dim: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane weights in [-1, 1]:
     md5-derived, so identical across runs, Python versions, and

@@ -560,13 +560,18 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible by design — that approximation is WHY the method scales:
     candidate pairs are confined to cells.
 
-    Scale shape: assignment is a broadcast crossJoin against the K
-    centroids reduced by an unsorted per-vector arg-max (groupBy
-    max_by, no window sort); the pair stage is an equi-self-join ON
-    cell_id — at 100 TB each cell is one shuffle partition and the
-    quadratic term is bounded by the cell width, tunable via K.  The
-    rounded csim (6 dp) keeps assignment ties engine-reproducible."""
-    from pg_telemetry_spark.operators.similarity import as_double, dot
+    Scale shape: BOTH dense stages are Arrow-batched BLAS, not
+    per-element lambdas — assignment is one numpy matmul per batch
+    against the capped (<= 4096 x 64, ~2 MB) centroid matrix shipped
+    in the task closure (operators/ann.assign_nearest_cell; the
+    crossJoin + fold-dot plan ran sf1's 12.5M dots in 48 s vs ~1 s),
+    and the in-cell pairwise report is a per-cell gram matrix behind
+    the plan's ONE exchange (shuffle on cell_id).  At 100 TB each
+    cell is one shuffle partition; the quadratic term is bounded by
+    cell width, tunable via K.  Rounded sims (6 dp) and
+    smallest-cell-id tie-breaks keep assignment engine-reproducible;
+    dup_rate rounds JVM-side (HALF_UP, matching SQL round)."""
+    from pg_telemetry_spark.operators.similarity import as_double
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double("embedding").alias("v"))
@@ -584,45 +589,65 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id")
         .agg(F.min_by("cv", "vec_id").alias("cv"))
     )
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", F.round(dot("v", "cv"), 6)
-    )
-    # arg-max per vector without a sorted window: max_by over a struct
-    # ordered (csim, -cell_id) == "highest sim, ties to smallest cell"
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cell_id", F.struct(F.col("csim"), (-F.col("cell_id")).alias("nc"))
-        ).alias("cell_id"),
-        F.first("v").alias("v"),
-    )
-    x = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("vid1"), F.col("v").alias("v1")
-    )
-    b = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("vid2"), F.col("v").alias("v2")
-    )
-    # per-cell dup stats straight off the pair join (count_distinct
-    # absorbs the multi-partner dedup); per-cell member counts off the
-    # assignment; the final stitch joins two K-row frames — broadcast,
-    # never a row-level join back to the corpus
-    dupagg = (
-        x.join(b, "cell_id")
-        .filter(F.col("vid1") < F.col("vid2"))
-        .filter(F.round(dot("v1", "v2"), 6) >= 0.35)
-        .groupBy("cell_id")
-        .agg(
-            F.count_distinct("vid2").alias("n_dups"),
-            F.min("vid2").alias("min_dup_vec"),
+    # the n x K assignment is dense linear algebra: Arrow-batched BLAS
+    # matmul against the capped centroid matrix (the fold-dot
+    # crossJoin plan evaluated an interpreted lambda per pair —
+    # measured 48 s vs ~1 s for sf1's 12.5M dots); ties break to the
+    # smallest cell_id, mirroring the oracle's ORDER BY
+    from pg_telemetry_spark.operators.ann import assign_nearest_cell
+
+    assigned_ids = assign_nearest_cell(e, cents)
+    # reattach vectors once: an n-row equi-join, not an agg buffer
+    assigned = assigned_ids.join(e, "vec_id")
+
+    # in-cell pairwise is ONE shuffle on cell_id + a per-cell BLAS
+    # gram matrix (width x width, width bounded by corpus/K): a
+    # member is a dup iff any LOWER-id member of its cell has
+    # rounded cosine >= 0.35 — the upper triangle of the id-sorted
+    # gram matrix, so the whole per-cell report falls out of one
+    # matmul (the fold-dot pair join ran 4.9M interpreted lambda
+    # dots at sf10: 73 s -> ~8 s)
+    import numpy as np
+    import pandas as pd
+
+    def cell_report(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n > 1:
+            mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf["v"].to_numpy()[order]]
+            )
+            sims = np.round(mat @ mat.T, 6)
+            iu = np.triu_indices(n, k=1)
+            dup_idx = np.unique(iu[1][sims[iu] >= 0.35])
+        else:
+            dup_idx = np.array([], dtype="int64")
+        n_dups = int(len(dup_idx))
+        return pd.DataFrame(
+            {
+                "cell_id": [int(key[0])],
+                "n_members": [n],
+                "n_dups": [n_dups],
+                "min_dup_vec": [int(ids[dup_idx].min()) if n_dups else None],
+            }
         )
+
+    report = assigned.groupBy("cell_id").applyInPandas(
+        cell_report,
+        schema="cell_id long, n_members long, n_dups long, min_dup_vec long",
     )
-    members = assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
-    return members.join(F.broadcast(dupagg), "cell_id", "left").select(
+    # rate rounded JVM-side: F.round is HALF_UP like the oracle's
+    # round(); Python/numpy round is half-to-even, and exact k/n
+    # ratios CAN land on 5e-7 boundaries (e.g. n = 128)
+    return report.select(
         "cell_id",
         "n_members",
-        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
-        F.round(
-            F.coalesce("n_dups", F.lit(0)).cast("double") / F.col("n_members"), 6
-        ).alias("dup_rate"),
+        "n_dups",
+        F.round(F.col("n_dups").cast("double") / F.col("n_members"), 6).alias(
+            "dup_rate"
+        ),
         "min_dup_vec",
     )
 

@@ -89,12 +89,11 @@ BUDGETS = {
     # r8: one shuffle on the hashed cluster key (unsorted struct-max
     # ownership) + one source re-agg
     "llm_keep_best": 2,
-    # r8: the static plan repeats the assignment subtree (centroid-cap
-    # agg + arg-max groupBy) under both pair-join sides and the member
-    # count — the runtime collapses them to ReusedExchange; every
-    # exchange keys on vec_id or cell_id (or carries the <=4096-row
-    # centroid frame) and the final stitch is a K-row broadcast
-    "llm_semdedup": 9,
+    # r8: BLAS assignment (mapInPandas vs the capped centroid matrix)
+    # + vec_id reattach join collapse into Arrow/stream stages; the
+    # ONE exchange is the shuffle on cell_id feeding the per-cell
+    # gram-matrix report
+    "llm_semdedup": 1,
     # PPJoin family (r7): plans root at the _shared df-ranked docs
     # relation (same materialized-table shape as llm_dedup_cc); the
     # 3 = prefix self-join sides + candidate distinct
