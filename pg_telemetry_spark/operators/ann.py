@@ -96,14 +96,13 @@ def _kmeans_centroids_impl(
     ).persist()
     cents = _init_centroids(sample, k, id_col).localCheckpoint(eager=True)
     for _ in range(iters):
-        top1 = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id"))
-        assigned = (
-            sample.crossJoin(F.broadcast(cents))
-            .withColumn("csim", dot("v", "cv"))
-            .withColumn("rn", F.row_number().over(top1))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cell_id", "v")
-        )
+        # BLAS assignment (matmul per Arrow batch vs the k-row centroid
+        # matrix) — the former crossJoin + fold-dot + top-1 window ran
+        # an interpreted lambda per (vector, centroid) pair, the same
+        # n x k trap measured at 48 s vs ~1 s in llm_semdedup
+        assigned = assign_nearest_cell(
+            sample, cents, id_col=id_col, vec_col="v"
+        ).join(sample, id_col)
         dims = assigned.select("cell_id", F.posexplode("v").alias("i", "x"))
         means = (
             dims.groupBy("cell_id", "i")
@@ -151,18 +150,14 @@ def build_ivf_index(
             (F.col(id_col) / stride).cast("long").alias("cell_id"),
             as_double(vec_col).alias("cv"),
         )
-    scored = (
-        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("csim", dot("v", "cv"))
+    e = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    # BLAS assignment against the K-row centroid matrix (see
+    # assign_nearest_cell) instead of a crossJoin + fold-dot + top-1
+    # window: one matmul per Arrow batch, ties to the smallest cell
+    assigned = assign_nearest_cell(e, centroids, id_col=id_col, vec_col="v").join(
+        e, id_col
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cell_id", "v")
-    )
-    return centroids.select("cell_id", "cv"), assigned
+    return centroids.select("cell_id", "cv"), assigned.select(id_col, "cell_id", "v")
 
 
 def ivf_topk(
@@ -236,9 +231,14 @@ def assign_nearest_cell(
             if len(pdf) == 0:
                 continue
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            sims = np.round(mat @ cmat.T, 6)
-            best = sims.max(axis=1)
-            idx = (sims == best[:, None]).argmax(axis=1)
+            sims = mat @ cmat.T
+            np.round(sims, 6, out=sims)
+            # argmax returns the FIRST maximum — with centroid columns
+            # in ascending cell order that IS the smallest-cell
+            # tie-break, no compare matrix needed (the b x K sims
+            # matrix is the only allocation, which matters when K is
+            # thousands of cells)
+            idx = np.argmax(sims, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), cell_col: cell_ids[idx]}
             )
