@@ -120,11 +120,14 @@ HEADLINE = [
     "llm_quality_sample",
     "llm_prefix_dedup",
     "llm_cross_split_leak",
-    # round-8: semantic dedup, retention policy, BPE tokenizer training
+    # round-8: semantic dedup, retention policy, BPE tokenizer training,
+    # content-defined chunk dedup (llm_bpe_apply stays registry-only:
+    # its cost is bpe_train + a broadcast join, both already audited)
     "llm_semdedup",
     "llm_keep_best",
     "llm_bpe_pairs",
     "llm_bpe_train",
+    "llm_cdc_chunk",
 ]
 
 

@@ -156,3 +156,58 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="rank BIGINT, sym_a STRING, sym_b STRING, merged STRING, n BIGINT"
     )
+
+
+def bpe_apply_to_vocab(vocab: DataFrame, merges) -> DataFrame:
+    """Apply a learned merge table to a (``syms``, ``wn``) vocabulary
+    frame, in rank order.  Each merge is one narrow array fold over
+    the VOCAB (never the corpus); k merges = k chained folds in a
+    single projection pipeline."""
+    out = vocab
+    for _rank, a, b, _m, _n in merges:
+        out = out.select(_merge_fold(a, b).alias("syms"), *[
+            c for c in out.columns if c != "syms"
+        ])
+    return out
+
+
+@query("llm_bpe_apply", group="llm_ext", tier="C")
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE merges learned by
+    :func:`bpe_train` — the apply half of the tokenizer loop — and
+    report the per-source compression it buys: characters per BPE
+    token before/after the 8 merges.
+
+    Scale shape: merges apply to the DISTINCT-WORD vocabulary (k
+    narrow folds over a vocab-sized frame), and per-word BPE token
+    counts come back to documents via a broadcast join on the word —
+    the corpus is scanned once for the word explode and once more
+    never; no merge logic ever touches a corpus-sized row.  Tier C
+    (depends on the trained merge table); the value-level golden in
+    tests/test_units_bpe.py pins apply against the same pure-Python
+    reference as training."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=8)
+    words = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wn"))
+        .select(
+            "w", F.expr("filter(split(w, ''), s -> s != '')").alias("syms")
+        )
+    )
+    tokenized = bpe_apply_to_vocab(vocab, merges).select(
+        "w", F.size("syms").alias("n_bpe"), F.length("w").alias("n_chars")
+    )
+    joined = words.join(F.broadcast(tokenized), "w")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+    )

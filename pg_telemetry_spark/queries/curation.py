@@ -710,3 +710,142 @@ def llm_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_dropped"),
         F.min(F.when(~F.col("is_kept"), F.col("doc_id"))).alias("min_dropped_doc"),
     )
+
+
+_CDC_GRAM_BUCKET_SQL = """(instr('0123456789abcdef', substring(md5({g}), 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substring(md5({g}), 2, 1)) - 1)"""
+
+
+@query(
+    "llm_cdc_chunk",
+    group="curation",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+), bounds AS (
+  SELECT doc_id, source, t,
+         list_append(
+           list_filter(range(4, len(t)),
+             i -> {_CDC_GRAM_BUCKET_SQL.format(g="array_to_string(list_slice(t, i - 3, i), ' ')")} < 8),
+           len(t)) AS bp
+  FROM toks
+), chunks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(bp) + 1),
+           j -> struct_pack(
+             idx := j,
+             chunk := array_to_string(list_slice(t,
+               CASE WHEN j = 1 THEN 1 ELSE bp[j - 1] + 1 END, bp[j]), ' '),
+             n_tok := bp[j] - (CASE WHEN j = 1 THEN 0 ELSE bp[j - 1] END)))) AS c
+  FROM bounds
+), flat AS (
+  SELECT doc_id, source, c.idx AS chunk_idx, md5(c.chunk) AS ch, c.n_tok AS n_tok
+  FROM chunks
+), owned AS (
+  SELECT source, n_tok,
+         (doc_id, chunk_idx) = min((doc_id, chunk_idx)) OVER (PARTITION BY ch)
+             AS is_owner
+  FROM flat
+)
+SELECT source, count(*) AS n_chunks,
+       count(*) FILTER (WHERE NOT is_owner) AS n_dup_chunks,
+       round(CAST(count(*) FILTER (WHERE NOT is_owner) AS DOUBLE) / count(*), 6)
+           AS dup_rate,
+       round(avg(n_tok), 6) AS avg_chunk_tokens
+FROM owned GROUP BY source
+""",
+)
+def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC-style) + chunk-level
+    first-owner dedup: a chunk boundary falls after token i whenever
+    the md5 bucket of the trailing 4-token window is < 8 (expected
+    chunk length 32 tokens), plus a forced boundary at doc end.
+    Unlike llm_chunk_dedup's FIXED 8-token grid, CDC boundaries
+    re-synchronize after an insertion/deletion, so shifted copies
+    still collapse — the chunking storage dedup and sub-document
+    text dedup actually use.
+
+    Scale shape: boundary detection and chunk assembly are pure
+    narrow array folds per document (the rolling window is a
+    higher-order transform — no explode until chunks exist, no
+    shuffle to find boundaries); then ONE shuffle on the hashed
+    chunk digest (xxhash64 of the md5 hex — 8-byte key, same
+    discipline as llm_chunk_dedup) with an UNSORTED struct-min
+    ownership aggregate, and one re-agg on source.  Deterministic on
+    any engine: boundaries are md5 integer arithmetic, no rand()."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    n = F.size("t")
+    # interior boundary candidates: i in [4, n-1] (empty when n < 5 —
+    # guard against Spark's descending-sequence trap)
+    # bucket = int value of the md5 digest's first two hex digits
+    # (0..255), same arithmetic as the oracle's instr formulation
+    interior = F.when(
+        n >= 5,
+        F.filter(
+            F.sequence(F.lit(4), n - 1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("t", i - F.lit(3), F.lit(4)))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            < 8,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bp = F.concat(interior.cast("array<int>"), F.array(n))
+    withbp = toks.withColumn("bp", bp)
+    chunks = withbp.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bp")),
+                lambda j: F.struct(
+                    j.alias("idx"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            "t",
+                            F.when(j == 1, F.lit(1)).otherwise(
+                                F.element_at("bp", j - F.lit(1)) + 1
+                            ),
+                            F.element_at("bp", j)
+                            - F.when(j == 1, F.lit(0)).otherwise(
+                                F.element_at("bp", j - F.lit(1))
+                            ),
+                        ),
+                    ).alias("chunk"),
+                    (
+                        F.element_at("bp", j)
+                        - F.when(j == 1, F.lit(0)).otherwise(
+                            F.element_at("bp", j - F.lit(1))
+                        )
+                    ).alias("n_tok"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("c.idx").alias("chunk_idx"),
+        F.xxhash64(F.md5("c.chunk")).alias("ck"),
+        F.col("c.n_tok").alias("n_tok"),
+    )
+    me = F.struct(F.col("doc_id"), F.col("chunk_idx"))
+    owner = F.min(me).over(Window.partitionBy("ck"))
+    owned = chunks.withColumn("is_owner", me == owner)
+    return owned.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(~F.col("is_owner")).alias("n_dup_chunks"),
+        F.round(
+            F.count_if(~F.col("is_owner")).cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("n_tok"), 6).alias("avg_chunk_tokens"),
+    )

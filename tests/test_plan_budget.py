@@ -80,6 +80,7 @@ BUDGETS = {
     "llm_ann_lsh": 2,
     "llm_ngram_novelty": 2,  # gram-key window min + doc_id re-agg
     "llm_chunk_dedup": 2,  # chunk-key ownership window + doc_id re-agg
+    "llm_cdc_chunk": 2,  # hashed-digest ownership window + source re-agg
     # 3 = corpus counts agg + two tiny exchanges over the k-row counts
     # table (whole-frame window + final source agg)
     "llm_domain_mix": 3,

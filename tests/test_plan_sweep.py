@@ -35,6 +35,7 @@ _EXECUTES = {
     "sql_recursive_hierarchy",  # frontier loop runs per-level jobs
     "llm_dedup_incr",  # materializes the base index eagerly
     "llm_bpe_train",  # merge-round driver loop collects per round
+    "llm_bpe_apply",  # trains the merge table first (same loop)
     "src_binaryfile",  # lands files via foreachPartition
     "snk_parquet_part",  # writes a partitioned directory
     "src_jdbc_pg",  # JDBC seam

@@ -33,6 +33,7 @@ COVERING_TESTS = {
     ),
     "llm_ann_lsh": ("tests.test_units_llm_ext", "test_lsh_ann_recovers_planted_neighbors"),
     "llm_bpe_train": ("tests.test_units_bpe", "test_bpe_train_matches_python_reference"),
+    "llm_bpe_apply": ("tests.test_units_bpe", "test_bpe_apply_matches_python_reference"),
     "llm_dedup_cc": ("tests.test_units_llm", "test_connected_components_match_union_find"),
     "llm_dedup_cc_star": ("tests.test_units_llm", "test_star_components_on_adversarial_chain"),
     "llm_dedup_incr": ("tests.test_units_llm", "test_incremental_dedup_equals_full_rebuild"),

@@ -78,3 +78,32 @@ def test_bpe_merge_is_leftmost_nonoverlapping(spark):
     # round 1: (a, a) counted 3x (overlapping); round 2: (aa, aa) once
     assert got[0][1:] == ("a", "a", "aa", 3)
     assert got[1][1:] == ("aa", "aa", "aaaa", 1)
+
+
+def test_bpe_apply_matches_python_reference(spark, sf_dir):
+    from pg_telemetry_spark.queries.bpe import bpe_apply_to_vocab
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+        .select("w", F.expr("filter(split(w, ''), s -> s != '')").alias("syms"))
+    )
+    got = {
+        r["w"]: list(r["syms"])
+        for r in bpe_apply_to_vocab(vocab, merges).select("w", "syms").collect()
+    }
+    for w, syms in got.items():
+        ref = list(w)
+        for _rank, a, b, _m, _n in merges:
+            out: list[str] = []
+            for s in ref:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            ref = out
+        assert syms == ref, (w, syms, ref)
