@@ -774,7 +774,13 @@ def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as llm_chunk_dedup) with an UNSORTED struct-min
     ownership aggregate, and one re-agg on source.  Deterministic on
     any engine: boundaries are md5 integer arithmetic, no rand()."""
-    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_report(load_table(spark, sf_dir, "documents"))
+
+
+def cdc_chunk_report(d: DataFrame) -> DataFrame:
+    """CDC chunking + first-owner dedup over any (doc_id, source,
+    text) frame — see :func:`llm_cdc_chunk`.  Exposed so the
+    shift-robustness unit test can run it on planted frames."""
     toks = d.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 1
     )

@@ -137,3 +137,28 @@ def test_zorder_buckets_confine_both_dims(spark, sf_dir):
     from pg_telemetry_spark.tables import load_table
 
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_cdc_chunking_survives_a_one_token_shift(spark):
+    """The CDC value proposition: insert ONE token at the front of a
+    copy and (a) a fixed 8-token grid loses every chunk alignment,
+    (b) CDC boundaries re-synchronize, so every chunk after the first
+    boundary is still an exact duplicate of the original's."""
+    from pg_telemetry_spark.queries.curation import cdc_chunk_report
+
+    words = [f"w{(i * 7) % 83}x{i % 11}" for i in range(240)]
+    base = " ".join(words)
+    shifted = "INSERTED " + base
+    d = spark.createDataFrame(
+        [(1, "orig", base), (2, "copy", shifted)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    rep = {r["source"]: r for r in cdc_chunk_report(d).collect()}
+    # the copy re-aligns: every chunk except (at most) the first is a
+    # duplicate of an original chunk
+    assert rep["copy"]["n_chunks"] >= 3, "fixture too short to make chunks"
+    assert rep["copy"]["n_dup_chunks"] >= rep["copy"]["n_chunks"] - 1
+    assert rep["orig"]["n_dup_chunks"] == 0
+    # the fixed 8-token grid on the same pair: zero aligned chunks
+    grid = lambda toks: {" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)}
+    assert not (grid(words) & grid(["INSERTED"] + words))
