@@ -226,3 +226,56 @@ def test_ewma_matches_local_fold(spark, vals):
     for v in vals[1:]:
         acc = 0.2 * v + 0.8 * acc
     assert abs(got - acc) < 1e-9
+
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "word", "x"]),
+        min_size=1,
+        max_size=60,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_slow
+@given(texts=_texts)
+def test_cdc_chunks_partition_every_document(spark, texts):
+    """CDC chunking is a PARTITION of the token stream: per doc,
+    chunk token counts sum to the doc's token count, and the chunk
+    count is boundaries+1 — for any input."""
+    from pg_telemetry_spark.queries.curation import cdc_chunk_report
+
+    rows = [(i, f"s{i}", t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    rep = {r["source"]: r for r in cdc_chunk_report(d).collect()}
+    for i, t in enumerate(texts):
+        n_tok = len(t.split(" "))
+        r = rep[f"s{i}"]
+        # avg * count == total tokens (avg is rounded to 6 — tolerate)
+        assert abs(r["avg_chunk_tokens"] * r["n_chunks"] - n_tok) < 1e-3
+        assert 1 <= r["n_chunks"] <= n_tok
+
+
+@_slow
+@given(texts=_texts)
+def test_bpe_apply_reconstructs_and_compresses(spark, texts):
+    """BPE invariants for any corpus: concatenating a word's symbols
+    reproduces the word, and applying merges never increases the
+    symbol count."""
+    import pyspark.sql.functions as F2
+
+    from pg_telemetry_spark.queries.bpe import bpe_apply_to_vocab, bpe_train
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    merges = bpe_train(docs, n_merges=3)
+    vocab = (
+        docs.select(F2.explode(F2.split("text", " ")).alias("w"))
+        .filter(F2.length("w") > 0)
+        .distinct()
+        .select("w", F2.expr("filter(split(w, ''), s -> s != '')").alias("syms"))
+    )
+    for r in bpe_apply_to_vocab(vocab, merges).collect():
+        assert "".join(r["syms"]) == r["w"]
+        assert len(r["syms"]) <= len(r["w"])
