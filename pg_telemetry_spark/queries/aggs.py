@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pg_telemetry_spark.queries.detsum import DAVG_SQL, DSUM_SQL, davg, dsum
 from pg_telemetry_spark.queries.relational import EVENTS_V
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
@@ -51,15 +52,15 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_group_hash",
     group="aggs",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {DSUM_SQL.format(x="l_quantity")} AS sum_qty,
+       {DSUM_SQL.format(x="l_extendedprice")} AS sum_base_price,
+       {DSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {DSUM_SQL.format(x="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {DAVG_SQL.format(x="l_quantity")} AS avg_qty,
+       {DAVG_SQL.format(x="l_extendedprice")} AS avg_price,
+       {DAVG_SQL.format(x="l_discount")} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,19 +68,22 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def agg_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shape grouped aggregate (8 aggregate expressions)."""
+    """TPC-H-Q1-shape grouped aggregate (8 aggregate expressions).
+    Money sums/means use the exact-decimal discipline
+    (queries/detsum.py) so the hash match is order-independent and
+    holds a decade above the sf0.01 gate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -148,7 +152,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name, n.n_name, c.c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 6) AS revenue
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -169,7 +174,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name", "c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        dsum("o_totalprice").alias("revenue"),
     )
 
 

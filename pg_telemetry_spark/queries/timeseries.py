@@ -217,8 +217,9 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(sum(value) / count(*), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS avg_value
 FROM {EVENTS_V} e
 GROUP BY 1, 2
 """,
@@ -229,14 +230,22 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verifies re-aggregability (sum/count compose exactly; avg is
     derived as sum/count at the final stage) — the materialized-view
     rollup pattern that lets a 100 TB warehouse serve month-wide
-    charts from pre-aggregated minutes instead of raw events."""
+    charts from pre-aggregated minutes instead of raw events.  The
+    value sums carry EXACT DECIMALS through both stages
+    (queries/detsum.py): decimal addition is associative, so the
+    two-stage rollup equals the single-stage oracle bit-for-bit at
+    any scale and partitioning — double sums only composed until the
+    60k-row gate and broke one decade up."""
     e = load_table(spark, sf_dir, "events")
     minute = (
         e.groupBy(
             F.window("ts", "1 minute").start.cast("timestamp_ntz").alias("mbucket"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
     )
     return (
         minute.groupBy(
@@ -245,8 +254,8 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("s"), 6).alias("sum_value"),
-            F.round(F.sum("s") / F.sum("n"), 6).alias("avg_value"),
+            F.round(F.sum("s").cast("double"), 6).alias("sum_value"),
+            F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("avg_value"),
         )
     )
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.queries.detsum import dsum
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -213,7 +214,9 @@ def wl_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_q9_product_profit",
     group="workload",
     oracle="""
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       round(CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS sum_profit
 FROM (
   SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount)
@@ -254,7 +257,10 @@ def wl_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        # exact-decimal sum (queries/detsum.py): the double sum's
+        # order-noise crossed the 2-dp boundary one decade above the
+        # gate (round-8 sf0.1 sweep)
+        .agg(dsum("amount", scale=2).alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
