@@ -127,7 +127,8 @@ def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="aggs",
     oracle=f"""
 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM {EVENTS_V} e
 GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
 """,
@@ -139,7 +140,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type, CAST(date_trunc('day', ts) AS timestamp_ntz) AS day,
-               count(*) AS n_events, round(sum(value), 6) AS sum_value
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS sum_value
         FROM _gs_events
         GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
         """

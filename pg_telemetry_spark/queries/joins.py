@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg_telemetry_spark.queries.relational import EVENTS_V
+from pg_telemetry_spark.queries.detsum import dsum
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -79,7 +80,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name, n.n_name,
        count(*) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -105,7 +107,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
         )

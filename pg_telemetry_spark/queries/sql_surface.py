@@ -27,7 +27,8 @@ def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
     oracle="""
 SELECT r.r_name, o.o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 6) AS revenue
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -45,7 +46,8 @@ def sql_star_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT /*+ BROADCAST(n), BROADCAST(r) */
                r.r_name, o.o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o.o_totalprice), 6) AS revenue
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 6) AS revenue
         FROM v_orders o
         JOIN v_customer c ON o.o_custkey = c.c_custkey
         JOIN v_nation n   ON c.c_nationkey = n.n_nationkey

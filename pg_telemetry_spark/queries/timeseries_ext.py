@@ -26,8 +26,9 @@ from pg_telemetry_spark.tables import load_table
     oracle=f"""
 WITH samples AS (
   SELECT user_id, ts, event_id,
-         fmod(sum(value) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id), 500.0) AS counter
+         sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+           % CAST(500 AS DECIMAL(18,6)) AS counter
   FROM {EVENTS_V} e
 ), deltas AS (
   SELECT user_id,
@@ -38,8 +39,8 @@ WITH samples AS (
 )
 SELECT user_id,
        CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
-       round(sum(CASE WHEN delta < 0 THEN counter ELSE delta END), 6)
-         AS total_increase
+       round(CAST(sum(CASE WHEN delta < 0 THEN counter ELSE delta END)
+                  AS DOUBLE), 6) AS total_increase
 FROM deltas
 WHERE delta IS NOT NULL
 GROUP BY user_id
@@ -55,11 +56,15 @@ def ts_counter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle per series key; the reset logic is a branch-free
     CASE over lag deltas — at 100 TB this is the same shape as any
     per-series window, and the rollup rides the series partitioning.
-    The cumulative sum is window-ordered so both engines add in the
-    identical order (bit-identical floats)."""
+    The whole chain is EXACT DECIMAL (queries/detsum.py discipline):
+    the ordered prefix sum is order-pinned, but the final per-user
+    delta sum is NOT — double sums there broke the hash two decades
+    above the gate (round-8 sf1 sweep)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    counter = F.pmod(F.sum("value").over(w), F.lit(500.0))
+    counter = F.sum(F.col("value").cast("decimal(18,6)")).over(w) % F.lit(
+        500
+    ).cast("decimal(18,6)")
     samples = e.select("user_id", "ts", "event_id", counter.alias("counter"))
     delta = F.col("counter") - F.lag("counter").over(w)
     deltas = samples.select("user_id", delta.alias("delta"), "counter").filter(
@@ -74,7 +79,7 @@ def ts_counter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("delta") < 0, F.col("counter")).otherwise(
                         F.col("delta")
                     )
-                ),
+                ).cast("double"),
                 6,
             ).alias("total_increase"),
         )

@@ -282,11 +282,13 @@ def wl_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_q14_promo_revenue",
     group="workload",
     oracle="""
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS total_revenue
+                              ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_pct,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
@@ -306,13 +308,21 @@ def wl_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
+            # exact-decimal sums (queries/detsum.py): the double sums
+            # broke the hash at the sf1 sweep
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 6,
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 6).alias("total_revenue"),
+            F.round(F.sum(rev.cast("decimal(18,6)")).cast("double"), 6).alias(
+                "total_revenue"
+            ),
         )
     )
 
@@ -517,7 +527,8 @@ WITH dim AS (
   FROM {EVENTS_V} e
 )
 SELECT e.event_type, count(*) AS n_events,
-       round(sum(e.value * d.type_weight), 6) + 0 AS weighted_sum
+       round(CAST(sum(CAST(e.value * d.type_weight AS DECIMAL(18,6)))
+                  AS DOUBLE), 6) + 0 AS weighted_sum
 FROM {EVENTS_V} e JOIN dim d USING (event_type)
 GROUP BY e.event_type
 """,
@@ -541,7 +552,13 @@ def wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join_small(e, dim, key="event_type", unique_col="event_id")
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        (F.round(F.sum(F.col("value") * F.col("type_weight")), 6) + 0.0).alias(
-            "weighted_sum"
-        ),
+        (
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("type_weight")).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("weighted_sum"),
     )

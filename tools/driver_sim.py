@@ -14,9 +14,20 @@ from pyspark.sql import SparkSession
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_LOCAL.json"
 
-# plain session, as the driver would build it (no engine confs!)
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.ui.enabled","false").getOrCreate())
+# plain session, as the driver would build it (no engine confs!).
+# SPARK_GRAFT_SIM_DRIVER_MEM exists ONLY for the decade-up sweeps
+# (sf0.1 / sf1): the sim itself collect()s full result sets, and a
+# default-sized driver dies on harness volume (TaskResultLost /
+# broadcast OOM) before correctness is even tested — at the sf0.01
+# gate scale the knob is unset and the session stays stock.
+import os as _os0
+_builder = (SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled","false"))
+if _os0.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM"):
+    _builder = _builder.config(
+        "spark.driver.memory", _os0.environ["SPARK_GRAFT_SIM_DRIVER_MEM"]
+    ).config("spark.driver.maxResultSize", "4g")
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
