@@ -128,6 +128,12 @@ HEADLINE = [
     "llm_bpe_pairs",
     "llm_bpe_train",
     "llm_cdc_chunk",
+    # round-8 late: paper-grounded curation/monitoring depth
+    "llm_dup_substrings",
+    "llm_lm_filter",
+    "llm_winnowing",
+    "llm_embed_outlier",
+    "ts_cusum_change",
 ]
 
 
@@ -319,10 +325,11 @@ def main() -> None:
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        # 1-decimal per-query values: the compact line must stay inside
-        # the driver's ~2 KB tail window at any realistic width (67+
-        # names); 3-decimal timings live in BENCH_FULL.json
-        "queries": {n: round(v, 1) for n, v in timings.items()},
+        # INTEGER-second per-query values: at 73 names even 1-decimal
+        # overflows the driver's ~2 KB tail window at worst-case
+        # widths (measured 1987 chars vs 1841 integer); 3-decimal
+        # timings live in BENCH_FULL.json and the full first line
+        "queries": {n: int(v) for n, v in timings.items()},
         "sf": sf,
         "mode": mode,
         "full": "BENCH_FULL.json",
@@ -330,8 +337,10 @@ def main() -> None:
     if streaming is not None:
         compact["streaming_total_sec"] = streaming["value"]
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never regress past the capture window again
-        compact["queries"] = {n: int(v) for n, v in timings.items()}
+    if len(line) > 1900:  # never regress past the capture window again:
+        # drop the per-query dict entirely — the headline value is the
+        # artifact the gate audit needs; per-query is in BENCH_FULL.json
+        compact["queries"] = {"omitted_see_full": len(timings)}
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     sys.stdout.flush()

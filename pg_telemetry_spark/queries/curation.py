@@ -855,3 +855,213 @@ def cdc_chunk_report(d: DataFrame) -> DataFrame:
         ).alias("dup_rate"),
         F.round(F.avg("n_tok"), 6).alias("avg_chunk_tokens"),
     )
+
+
+@query(
+    "llm_dup_substrings",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+), g AS (
+  SELECT doc_id, len(t) AS n_tokens, i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+  FROM toks, unnest(range(1, len(t) - 6)) u(i)
+), df AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dupg AS (
+  SELECT g.doc_id, g.i FROM g JOIN df USING (gram)
+), base AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS n_grams
+  FROM g GROUP BY doc_id
+), dupd AS (
+  SELECT doc_id, count(*) AS n_dup_grams FROM dupg GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, count(DISTINCT idx) AS covered
+  FROM dupg, unnest(range(i, i + 8)) v(idx) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+       round(CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n_tokens, 6)
+           AS dup_coverage
+FROM base b
+LEFT JOIN dupd d USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+""",
+)
+def llm_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage (the per-document metric
+    behind suffix-array training-data dedup, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    word 8-gram occurring in >=2 distinct documents is corpus-
+    duplicated text, and each document reports how many of its tokens
+    are covered by at least one duplicated 8-gram — the quantity the
+    paper's ExactSubstr dedup cuts.
+
+    Shape at 100 TB: the gram key is shuffled as xxhash64(md5(gram))
+    — 8 bytes, never the string (same hashed-key discipline as
+    llm_chunk_dedup); the doc-frequency aggregate and the gram->doc
+    join reuse the SAME key, so AQE coalesces them onto one
+    partitioning.  Coverage is an interval union computed as a
+    bounded x8 position explode + per-doc distinct count, all keyed
+    by doc_id.  No window over the corpus, no driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    g = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            _word_grams(F.lit(1), F.size("t") - 7, 8)
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pos") + 1).alias("i"),
+        F.xxhash64(F.md5("gram")).alias("gk"),
+    )
+    dup_keys = (
+        g.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gk")
+    )
+    dupg = g.join(dup_keys, "gk").select("doc_id", "i")
+    base = g.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"), F.count("*").alias("n_grams")
+    )
+    dupd = dupg.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    cov = (
+        dupg.select(
+            "doc_id", F.explode(F.sequence("i", F.col("i") + 7)).alias("idx")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("idx").alias("covered"))
+    )
+    return (
+        base.join(dupd, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0).cast("bigint")).alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce("covered", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+@query(
+    "llm_lm_filter",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) u(i)
+  WHERE len(t) >= 2
+), uni AS (
+  SELECT w1, count(*) AS u_n FROM grams GROUP BY w1
+), bi AS (
+  SELECT w1, w2, count(*) AS b_n FROM grams GROUP BY w1, w2
+), vocab AS (
+  SELECT count(DISTINCT w1) AS v FROM grams
+), scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_bigrams,
+         round(avg(ln((b.b_n + 1.0) / (u.u_n + vocab.v))), 6) AS score
+  FROM grams g
+  JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni u ON g.w1 = u.w1
+  CROSS JOIN vocab
+  GROUP BY g.doc_id
+), tot AS (
+  SELECT count(*) AS n FROM scored
+), cdf AS (
+  SELECT score, sum(cnt) OVER (ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+  FROM (SELECT score, count(*) AS cnt FROM scored GROUP BY score)
+), cut AS (
+  SELECT min(score) AS c FROM cdf, tot WHERE cdf.cum >= (tot.n + 3) // 4
+)
+SELECT s.doc_id, s.n_bigrams, s.score, s.score >= cut.c AS kept
+FROM scored s, cut
+""",
+)
+def llm_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity filtering (the CCNet recipe, Wenzek
+    et al. 2020): score every document with the corpus-trained add-1
+    bigram LM (same model as llm_bigram_lm), then DROP the worst
+    quartile — kept iff score >= the exact 25th-percentile score.
+
+    The cutoff is computed from a HISTOGRAM CDF, not a sort of the
+    corpus: per-doc scores are rounded to 6 decimals, counted per
+    distinct value, and the running count over that (value-bounded,
+    corpus-size-independent) histogram yields the smallest score
+    whose cumulative count reaches ceil(n/4) — integer arithmetic,
+    no interpolation, so both engines agree bit-for-bit and no
+    global sort of the documents ever happens.  The cutoff and the
+    corpus size attach as broadcast 1-row scalars (the audited
+    crossJoin pattern).  At 100 TB the histogram aggregate is the
+    same two-phase hash agg as any groupBy; the single ordered
+    window runs over distinct score values only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = grams.groupBy("w1").agg(F.count("*").alias("u_n"))
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("b_n"))
+    vocab = grams.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp", F.log((F.col("b_n") + 1.0) / (F.col("u_n") + F.col("v")))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("score"),
+        )
+    )
+    tot = scored.agg(F.count("*").alias("n"))
+    hist = scored.groupBy("score").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.select("score", F.sum("cnt").over(w).alias("cum"))
+    cut = (
+        cdf.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr("(n + 3) div 4"))
+        .agg(F.min("score").alias("c"))
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_bigrams",
+        "score",
+        (F.col("score") >= F.col("c")).alias("kept"),
+    )

@@ -619,3 +619,197 @@ def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component_id"),
         (F.col("id") == F.col("comp")).cast("int").alias("is_kept"),
     )
+
+
+@query(
+    "llm_winnowing",
+    group="llm_ext",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 7
+), wh AS (
+  SELECT doc_id,
+         list_transform(t, w -> CAST(ascii(substring(w, 1, 1)) * 31
+                                     + length(w) AS BIGINT)) AS v
+  FROM toks
+), gh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(v) - 2),
+           i -> (((v[i] * 131 + v[i+1]) * 131 + v[i+2]) * 131 + v[i+3])
+                % 1000000007) AS hs
+  FROM wh
+), sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                j -> list_min(hs[j:j+3])))) AS fp
+  FROM gh
+), keepfp AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64
+)
+SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_shared
+FROM sel s1
+JOIN keepfp k ON s1.fp = k.fp
+JOIN sel s2 ON s1.fp = s2.fp AND s1.doc_id < s2.doc_id
+GROUP BY doc1, doc2
+HAVING count(*) >= 2
+""",
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint match (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): per document, hash word 4-grams with the
+    cross-engine polynomial (same convention as llm_fingerprint),
+    take the minimum hash of every 4-wide sliding window, and keep
+    the distinct selected values — the guarantee is that any shared
+    run of >= 7 tokens yields at least one shared selected
+    fingerprint.  Documents are then matched on selected
+    fingerprints; pairs sharing >= 2 are reported.
+
+    Scale shape: selection is a narrow per-row array fold (no
+    explode until the distinct selected set, which winnowing bounds
+    to ~2/(w+1) of the grams); the match is an equi-join on the
+    8-byte fingerprint — O(collisions), never all-pairs — with a
+    MOSS-style stop-fingerprint guard (doc-frequency > 64 dropped
+    before pairing) playing the same hot-bucket role as the LSH
+    star degrade: a boilerplate fingerprint shared by thousands of
+    docs cannot create a quadratic pair blowup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def whash(w):
+        return F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w)
+
+    v = F.transform(toks, whash).cast("array<bigint>")
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size(v) - 3),
+        lambda i: (
+            (
+                (
+                    F.element_at(v, i) * 131
+                    + F.element_at(v, i + F.lit(1))
+                )
+                * 131
+                + F.element_at(v, i + F.lit(2))
+            )
+            * 131
+            + F.element_at(v, i + F.lit(3))
+        )
+        % 1_000_000_007,
+    )
+    sel = (
+        d.filter(F.size(toks) >= 7)
+        .select("doc_id", gh.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - 3),
+                        lambda j: F.array_min(F.slice("hs", j, 4)),
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    keepfp = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") <= 64)
+        .select("fp")
+    )
+    s1 = sel.join(keepfp, "fp").select("fp", F.col("doc_id").alias("doc1"))
+    s2 = sel.select("fp", F.col("doc_id").alias("doc2"))
+    return (
+        s1.join(s2, "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+@query(
+    "llm_embed_outlier",
+    group="llm_ext",
+    tier="B",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, i, avg(x) AS cx FROM ex GROUP BY label, i
+), dist AS (
+  SELECT ex.vec_id, ex.label,
+         round(sqrt(sum((x - cx) * (x - cx))), 6) AS d
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+  GROUP BY ex.vec_id, ex.label
+), dd AS (
+  SELECT vec_id, label, d, CAST(d AS DECIMAL(18,6)) AS ddec FROM dist
+), st AS (
+  SELECT label, count(*) AS n,
+         CAST(sum(ddec) AS DOUBLE) AS s1,
+         CAST(sum(ddec * ddec) AS DOUBLE) AS s2
+  FROM dd GROUP BY label
+), fin AS (
+  SELECT label, s1 / n AS mean_d,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd_d
+  FROM st
+)
+SELECT dd.vec_id, dd.label,
+       dd.d AS dist_to_centroid,
+       round((dd.d - fin.mean_d) / fin.sd_d, 6) AS z,
+       (dd.d - fin.mean_d) / fin.sd_d > 2.0 AS is_outlier
+FROM dd JOIN fin USING (label)
+""",
+)
+def llm_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: distance to the per-label centroid
+    (same fully-distributed explode/avg/rejoin as llm_centroid),
+    z-scored against that label's distance distribution — the
+    mislabeled-example / corrupt-embedding screen a curation pipeline
+    runs before contrastive training (flag z > 2).
+
+    Determinism: the per-label mean/std are computed from EXACT
+    DECIMAL sums of the rounded-6 distances (sum and sum-of-squares
+    of DECIMAL(18,6) values are exact and order-independent; the
+    final double formula evaluates identical operands on both
+    engines).  Scale: two shuffles keyed by (label, i) and (vec_id)
+    for the distances, one tiny per-label aggregate broadcast back —
+    the stats side is O(labels), never O(vectors)."""
+    from pg_telemetry_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("i", "x")
+    )
+    cent = ex.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    diff = F.col("x") - F.col("cx")
+    dist = (
+        ex.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("d"))
+    )
+    dd = dist.withColumn("ddec", F.col("d").cast("decimal(18,6)"))
+    st = dd.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("ddec").cast("double").alias("s1"),
+        F.sum(F.col("ddec") * F.col("ddec")).cast("double").alias("s2"),
+    )
+    fin = st.select(
+        "label",
+        (F.col("s1") / F.col("n")).alias("mean_d"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd_d"),
+    )
+    z = (F.col("d") - F.col("mean_d")) / F.col("sd_d")
+    return dd.join(F.broadcast(fin), "label").select(
+        "vec_id",
+        "label",
+        F.col("d").alias("dist_to_centroid"),
+        F.round(z, 6).alias("z"),
+        (z > 2.0).alias("is_outlier"),
+    )

@@ -595,3 +595,98 @@ def ts_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn_6h.alias("burn_6h"),
         ((burn_1h > 1.0) & (burn_6h > 1.0)).alias("alert"),
     )
+
+
+@query(
+    "ts_cusum_change",
+    group="timeseries",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM {EVENTS_V} e
+  WHERE value IS NOT NULL
+), mu AS (
+  SELECT user_id,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+              // count(value) AS DOUBLE) / 100.0 AS mu
+  FROM e GROUP BY user_id
+), pre AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         sum(CAST(CAST(e.value - mu.mu - 5.0 AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT))
+           OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM e JOIN mu USING (user_id)
+), cusum AS (
+  SELECT user_id, ts, event_id,
+         p - least(CAST(0 AS BIGINT),
+                   min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS s
+  FROM pre
+)
+SELECT user_id,
+       count(*) AS n_samples,
+       round(CAST(max(s) AS DOUBLE) / 1000000, 6) AS max_cusum,
+       CAST(sum(CASE WHEN s > 200000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms
+FROM cusum
+GROUP BY user_id
+""",
+)
+def ts_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per telemetry series
+    (Page 1954): s_i = max(0, s_{i-1} + (x_i - mu - k)) flags a
+    sustained upward level shift; we report each user's peak CUSUM
+    and how many samples exceeded the alarm threshold h.
+
+    The recursion has the closed form s_i = P_i - min(0, min_{j<=i}
+    P_j) over the drift-adjusted prefix sum P, so the whole operator
+    is two ordered window aggregates over one per-series shuffle — no
+    iteration, no UDF, and at 100 TB it is the same single-exchange
+    shape as any per-series window chain (series key partitions the
+    work; AQE handles skewed users).
+
+    Determinism: the per-user mean is PURE INTEGER arithmetic —
+    exact decimal cents summed, floor-divided by the count — because
+    the round-8 sf1 sweep showed even round(double, 2) diverges
+    between engines at boundary quotients; with an integer-cent mean
+    the drift adjustment is identical IEEE math on identical
+    operands, and the prefix sum/running min accumulate INTEGER MICROS — exact, order-independent, hash-stable at
+    any scale (the round-8 sf1 sweep showed double window sums are
+    safe but double group sums are not; decimals everywhere cost
+    nothing here and remove the risk class entirely)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    cents = (
+        F.sum(F.col("value").cast("decimal(18,2)")) * 100
+    ).cast("bigint")
+    mu = e.groupBy("user_id").agg(
+        (
+            (cents - F.pmod(cents, F.count("value"))) / F.count("value")
+        ).cast("double").alias("_mu_cents")
+    ).select("user_id", (F.col("_mu_cents") / F.lit(100.0)).alias("mu"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    y_micro = (
+        (F.col("value") - F.col("mu") - F.lit(5.0)).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("bigint")
+    pre = e.join(mu, "user_id").withColumn("p", F.sum(y_micro).over(w))
+    s = F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(w))
+    return (
+        pre.withColumn("s", s)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.max("s").cast("double") / 1_000_000, 6).alias(
+                "max_cusum"
+            ),
+            F.sum(F.when(F.col("s") > 200_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alarms"),
+        )
+    )

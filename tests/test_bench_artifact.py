@@ -29,11 +29,11 @@ def _compact_line(value: float) -> str:
 
 
 def test_compact_line_fits_driver_tail_window():
-    # Worst realistic width: every query at a 4-digit-second timing
-    # with 1 decimal (bench's compact rounding).  The driver keeps
-    # ~2000 chars; bench guards at 1900 and degrades to integer
-    # seconds past that.
-    line = _compact_line(9999.9)
+    # Worst realistic width: every query at a 4-digit-second timing.
+    # bench emits INTEGER seconds per query (73 names outgrew even
+    # 1-decimal encoding); the driver keeps ~2000 chars and bench
+    # guards at 1900, degrading to an omitted-queries stub past that.
+    line = _compact_line(9999)
     assert len(line) < 1900, (
         f"compact bench line is {len(line)} chars; it will be "
         "front-truncated out of the driver's tail capture — trim the "
