@@ -134,6 +134,12 @@ HEADLINE = [
     "llm_winnowing",
     "llm_embed_outlier",
     "ts_cusum_change",
+    # round-8 batch 2: quality rules, soft dedup, diagnostics
+    "llm_gopher_rules",
+    "llm_soft_dedup",
+    "ts_acf",
+    "dq_benford",
+    "wl_markov_transition",
 ]
 
 

@@ -1065,3 +1065,144 @@ def llm_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("score") >= F.col("c")).alias("kept"),
     )
+
+
+
+
+@query(
+    "llm_gopher_rules",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         round(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+               / len(t), 6) AS mean_word_len,
+         round(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS DOUBLE) / len(t), 6) AS alpha_frac,
+         len(list_intersect(t, ['the', 'a', 'of', 'and', 'to', 'in']))
+             AS stop_distinct
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_distinct,
+       (n_words BETWEEN 10 AND 100000
+        AND mean_word_len BETWEEN 2.0 AND 10.0
+        AND alpha_frac >= 0.8
+        AND stop_distinct >= 2) AS kept
+FROM feats
+""",
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    Models", table A1): per-document heuristics — word count bounds,
+    mean word length bounds, fraction of words containing an
+    alphabetic character, and the >=2-distinct-stopwords requirement —
+    combined into a keep/drop verdict.
+
+    Shape at 100 TB: every feature is a NARROW higher-order array
+    fold over the token array (zero shuffles, zero explodes, full
+    whole-stage codegen); mean word length divides an exact integer
+    length sum, so no float-order hazard exists anywhere.  The filter
+    parallelizes embarrassingly — precisely why production pipelines
+    run Gopher rules before any shuffling stage."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]])
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    feats = toks.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        F.round(
+            F.aggregate(
+                "t", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / F.size("t"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("t", lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+            / F.size("t"),
+            6,
+        ).alias("alpha_frac"),
+        F.size(F.array_intersect("t", stop)).alias("stop_distinct"),
+    )
+    return feats.select(
+        "*",
+        (
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_word_len").between(2.0, 10.0)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("stop_distinct") >= 2)
+        ).alias("kept"),
+    )
+
+
+@query(
+    "llm_soft_dedup",
+    group="curation",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, hash(text) AS th FROM documents
+), cnt AS (
+  SELECT th, count(*) AS dup_cnt FROM h GROUP BY th
+), w AS (
+  SELECT h.doc_id, h.source, cnt.dup_cnt,
+         CAST(round(1000000.0 / cnt.dup_cnt) AS BIGINT) AS w_micro
+  FROM h JOIN cnt USING (th)
+), src AS (
+  SELECT source, sum(w_micro) AS src_micro, count(*) AS src_docs
+  FROM w GROUP BY source
+)
+SELECT w.doc_id, w.source, w.dup_cnt,
+       round(w.w_micro / 1e6, 6) AS weight,
+       round(CAST(w.w_micro AS DOUBLE) / src.src_micro, 6) AS sample_prob,
+       round(CAST(src.src_micro AS DOUBLE) / (src.src_docs * 1000000.0), 6)
+           AS src_effective_frac
+FROM w JOIN src USING (source)
+""",
+)
+def llm_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (He et al. 2024, "SoftDedup": down-weight,
+    don't drop): each exact-duplicate group of size c contributes
+    weight 1/c per copy, so the corpus keeps its diversity while
+    duplicated mass stops dominating the sampling distribution.
+    Reports the per-document weight, its within-source sampling
+    probability, and the source's effective-size fraction.
+
+    Determinism/scale: weights live as INTEGER micro-units
+    (round(1e6/c) as BIGINT) so every sum is exact integer arithmetic
+    — no float-order hazard in either engine (the same discipline as
+    ts_cusum_change).  Two shuffles: the duplicate-count groupBy keys
+    on the 8-byte text hash (never the text), and the per-source
+    rollup is O(sources) rows, broadcast back.  Note Spark xxhash64
+    and DuckDB hash() differ — both sides only ever GROUP on their
+    own hash, the hash value is never emitted."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.xxhash64("text").alias("th"))
+    cnt = h.groupBy("th").agg(F.count("*").alias("dup_cnt"))
+    w = h.join(cnt, "th").select(
+        "doc_id",
+        "source",
+        "dup_cnt",
+        F.round(F.lit(1000000.0) / F.col("dup_cnt"))
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    src = w.groupBy("source").agg(
+        F.sum("w_micro").alias("src_micro"), F.count("*").alias("src_docs")
+    )
+    return w.join(F.broadcast(src), "source").select(
+        "doc_id",
+        "source",
+        "dup_cnt",
+        F.round(F.col("w_micro") / 1e6, 6).alias("weight"),
+        F.round(F.col("w_micro").cast("double") / F.col("src_micro"), 6).alias(
+            "sample_prob"
+        ),
+        F.round(
+            F.col("src_micro").cast("double")
+            / (F.col("src_docs") * F.lit(1000000.0)),
+            6,
+        ).alias("src_effective_frac"),
+    )

@@ -748,3 +748,80 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(bitmap_count(bm))").alias("nd_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_benford",
+    group="dq",
+    oracle="""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+), d AS (
+  SELECT CAST(floor(cents / power(10, length(CAST(cents AS VARCHAR)) - 1))
+              AS INT) AS digit
+  FROM c
+), g AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), tot AS (
+  SELECT sum(n) AS t FROM g
+), fr AS (
+  SELECT digit, n, round(CAST(n AS DOUBLE) / t, 6) AS obs_frac,
+         round(log10(1 + 1.0 / digit), 6) AS exp_frac, t
+  FROM g, tot
+)
+SELECT digit, n, obs_frac, exp_frac,
+       round(t * (obs_frac - exp_frac) * (obs_frac - exp_frac) / exp_frac, 6)
+           AS chi2_term
+FROM fr
+""",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic fabricated/corrupted-numeric-data detector (Benford 1938;
+    standard in audit/DQ suites): observed first-significant-digit
+    frequencies vs log10(1 + 1/d), with the per-digit chi-squared
+    contribution.
+
+    Determinism: the first digit comes from INTEGER arithmetic on
+    exact cents (string-length decade, floor division — never
+    log10(value), whose last-ulp could straddle a decade boundary
+    differently per libm); obs/exp fractions are rounded to 6
+    decimals BEFORE the chi2 term so both engines square identical
+    doubles.  Shape at 100 TB: one map-side-combined hash agg to 9
+    rows, then scalar math — the cheapest possible full-scan screen,
+    and the scan prunes to the single projected column."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    d = c.select(
+        F.floor(
+            F.col("cents")
+            / F.pow(F.lit(10.0), F.length(F.col("cents").cast("string")) - 1)
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("t"))
+    fr = g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("obs_frac"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("exp_frac"),
+        "t",
+    )
+    return fr.select(
+        "digit",
+        "n",
+        "obs_frac",
+        "exp_frac",
+        F.round(
+            F.col("t")
+            * (F.col("obs_frac") - F.col("exp_frac"))
+            * (F.col("obs_frac") - F.col("exp_frac"))
+            / F.col("exp_frac"),
+            6,
+        ).alias("chi2_term"),
+    )

@@ -690,3 +690,100 @@ def ts_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_alarms"),
         )
     )
+
+
+@query(
+    "ts_acf",
+    group="timeseries",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1e6, 6) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), m AS (
+  SELECT event_type, count(*) AS n_hours,
+         round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_v
+  FROM hourly GROUP BY event_type
+), dd AS (
+  SELECT h.event_type, m.n_hours, m.mean_v, h.v - m.mean_v AS d,
+         lag(h.v - m.mean_v, 1) OVER w AS d1,
+         lag(h.v - m.mean_v, 2) OVER w AS d2,
+         lag(h.v - m.mean_v, 3) OVER w AS d3
+  FROM hourly h JOIN m USING (event_type)
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr)
+)
+SELECT event_type, any_value(n_hours) AS n_hours,
+       any_value(mean_v) AS mean_v,
+       round(CAST(sum(CAST(round(d * d1, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS acf_lag1,
+       round(CAST(sum(CAST(round(d * d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS acf_lag2,
+       round(CAST(sum(CAST(round(d * d3, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS acf_lag3
+FROM dd GROUP BY event_type
+""",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at observation lags 1-3 per
+    event-type hourly series — the classic seasonality/persistence
+    diagnostic a telemetry engine runs before fitting any forecast
+    (Box & Jenkins): r_k = sum((x_t - mean)(x_{t-k} - mean)) /
+    sum((x_t - mean)^2), full-series denominator.
+
+    Float-order discipline (the decade-up lesson): hourly values are
+    EXACT integer-micro sums rounded once; the mean comes from an
+    exact DECIMAL(18,6) sum; every cross-product is rounded to 6
+    decimals and accumulated as DECIMAL(38,6), so no engine ever sums
+    raw doubles in partition order.  Shape at 100 TB: one hash agg to
+    hourly grain (the big shuffle, on (type, hour)), then windows and
+    the final agg run per-series — thousands of independent series
+    partitions, none global."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint"))
+                / 1e6,
+                6,
+            ).alias("v")
+        )
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    d = F.col("v") - F.col("mean_v")
+    dd = hourly.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n_hours",
+        "mean_v",
+        d.alias("d"),
+        F.lag(d, 1).over(w).alias("d1"),
+        F.lag(d, 2).over(w).alias("d2"),
+        F.lag(d, 3).over(w).alias("d3"),
+    )
+
+    def _acf(lagcol: str) -> F.Column:
+        num = F.sum(
+            F.round(F.col("d") * F.col(lagcol), 6).cast("decimal(38,6)")
+        )
+        den = F.sum(F.round(F.col("d") * F.col("d"), 6).cast("decimal(38,6)"))
+        return F.round(num.cast("double") / den.cast("double"), 6)
+
+    return dd.groupBy("event_type").agg(
+        F.first("n_hours").alias("n_hours"),
+        F.first("mean_v").alias("mean_v"),
+        _acf("d1").alias("acf_lag1"),
+        _acf("d2").alias("acf_lag2"),
+        _acf("d3").alias("acf_lag3"),
+    )

