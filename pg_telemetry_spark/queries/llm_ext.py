@@ -665,64 +665,52 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint.  Documents are then matched on selected
     fingerprints; pairs sharing >= 2 are reported.
 
-    Scale shape: selection is a narrow per-row array fold (no
-    explode until the distinct selected set, which winnowing bounds
-    to ~2/(w+1) of the grams); the match is an equi-join on the
-    8-byte fingerprint — O(collisions), never all-pairs — with a
-    MOSS-style stop-fingerprint guard (doc-frequency > 64 dropped
-    before pairing) playing the same hot-bucket role as the LSH
-    star degrade: a boilerplate fingerprint shared by thousands of
-    docs cannot create a quadratic pair blowup."""
+    Scale shape: selection is a narrow Arrow-vectorized numpy kernel
+    (``operators/winnow.py`` — the r8 nested-HOF fold was interpreted
+    per element and cost ~16 s for 1.5 MB of text on one core; the
+    kernel is ~15 whole-batch numpy ops, integer-exact to the same
+    polynomial), and it is evaluated exactly ONCE —
+    the match is a single groupBy(fp) that collects the (sorted,
+    distinct-by-construction) doc list per fingerprint, applies the
+    MOSS-style stop-fingerprint guard (doc-frequency > 64 dropped)
+    in the SAME aggregate, then explodes id-ordered pairs from the
+    <= 64-wide list — bounded 64*63/2 pairs per fingerprint, never
+    all-pairs, never a self-join that would re-run the fold.  (The
+    r8 shape joined sel to itself through a keepfp aggregate, which
+    made Spark re-evaluate the O(tokens x window) fold three times:
+    37-40 s at sf0.1, 305 s at sf1.  One evaluation + two exchanges
+    now.)  The guard plays the same hot-bucket role as the LSH star
+    degrade: a boilerplate fingerprint shared by thousands of docs
+    cannot create a quadratic pair blowup."""
+    from pg_telemetry_spark.operators.winnow import winnow_select
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def whash(w):
-        return F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w)
-
-    v = F.transform(toks, whash).cast("array<bigint>")
-    gh = F.transform(
-        F.sequence(F.lit(1), F.size(v) - 3),
-        lambda i: (
-            (
-                (
-                    F.element_at(v, i) * 131
-                    + F.element_at(v, i + F.lit(1))
-                )
-                * 131
-                + F.element_at(v, i + F.lit(2))
-            )
-            * 131
-            + F.element_at(v, i + F.lit(3))
-        )
-        % 1_000_000_007,
-    )
-    sel = (
-        d.filter(F.size(toks) >= 7)
-        .select("doc_id", gh.alias("hs"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("hs") - 3),
-                        lambda j: F.array_min(F.slice("hs", j, 4)),
-                    )
-                )
-            ).alias("fp"),
-        )
-    )
-    keepfp = (
+    sel = winnow_select(d)
+    # one shuffle on fp; (doc_id, fp) is distinct by construction
+    # (the kernel dedupes per doc), so the sorted list is strictly
+    # increasing and doc1 < doc2 falls out of the id-ordered
+    # expansion.  size-1 groups contribute no pairs; > 64 is the
+    # stop-fingerprint guard.
+    grouped = (
         sel.groupBy("fp")
-        .agg(F.count("*").alias("ndocs"))
-        .filter(F.col("ndocs") <= 64)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, 64))
     )
-    s1 = sel.join(keepfp, "fp").select("fp", F.col("doc_id").alias("doc1"))
-    s2 = sel.select("fp", F.col("doc_id").alias("doc2"))
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + F.lit(1), F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, i).alias("doc1"), y.alias("doc2")
+                ),
+            ),
+        )
+    )
     return (
-        s1.join(s2, "fp")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )

@@ -134,6 +134,12 @@ BUDGETS = {
     # index scan.  Count is the wrong metric for this plan; the volume
     # invariant is the budget.
     "llm_dedup_incr": 18,
+    # r9: single-pass winnowing — ONE evaluation of the Arrow
+    # selection kernel feeding exactly two exchanges (groupBy fp with
+    # the <=64 stop-fingerprint guard in the same aggregate, then the
+    # pair re-agg).  The r8 self-join shape re-ran the selection fold
+    # three times (305 s at sf1); this budget keeps it dead.
+    "llm_winnowing": 2,
 }
 
 
