@@ -143,6 +143,22 @@ HEADLINE = [
 ]
 
 
+def _dominance_flags(timings: dict[str, float], share: float = 0.15) -> list[dict]:
+    """Absolute-dominance check (VERDICT r8 #6): the 12x scale-RATIO
+    bar missed llm_winnowing because its ratio was only x7.6 while it
+    was 34-62% of the leg's WALL.  Flag any query whose share of its
+    leg exceeds ``share`` so a single absolutely-dominant query is
+    surfaced automatically; BASELINE.md adjudicates every hit."""
+    total = sum(timings.values())
+    if total <= 0:
+        return []
+    return [
+        {"query": n, "sec": v, "share": round(v / total, 3)}
+        for n, v in sorted(timings.items(), key=lambda kv: -kv[1])
+        if v / total > share
+    ]
+
+
 def _run_df(df, mode: str) -> None:
     if mode == "noop":
         df.write.format("noop").mode("overwrite").save()
@@ -230,8 +246,16 @@ def _scale_curve(spark, registry, names) -> dict | None:
     out = {
         "metric": "scale_curve_noop",
         "unit": "sec",
-        "sf0.1": {"value": round(sum(lo.values()), 3), "queries": lo},
-        "sf1": {"value": round(sum(hi.values()), 3), "queries": hi},
+        "sf0.1": {
+            "value": round(sum(lo.values()), 3),
+            "queries": lo,
+            "dominance_flags": _dominance_flags(lo),
+        },
+        "sf1": {
+            "value": round(sum(hi.values()), 3),
+            "queries": hi,
+            "dominance_flags": _dominance_flags(hi),
+        },
         "ratio_sf1_over_sf0.1": ratios,
         "data_ratio": 10.0,
     }
@@ -243,7 +267,11 @@ def _scale_curve(spark, registry, names) -> dict | None:
     if os.environ.get("SPARK_GRAFT_SCALE3", "") == "1" and os.path.isdir(sf10_dir):
         cold()
         hi10 = _run_suite(spark, registry, names, sf10_dir, "noop", gc_between=True)
-        out["sf10"] = {"value": round(sum(hi10.values()), 3), "queries": hi10}
+        out["sf10"] = {
+            "value": round(sum(hi10.values()), 3),
+            "queries": hi10,
+            "dominance_flags": _dominance_flags(hi10),
+        }
         out["ratio_sf10_over_sf1"] = {
             n: round(hi10[n] / hi[n], 2) if hi[n] > 0 else None for n in names
         }
@@ -311,6 +339,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "dominance_flags": _dominance_flags(timings),
         "sf": sf,
         "sf_dir": sf_dir,
         "mode": mode,

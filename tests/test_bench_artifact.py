@@ -60,3 +60,16 @@ def test_compact_line_is_parseable_json_with_contract_keys():
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed
     assert len(parsed["queries"]) == len(bench.HEADLINE)
+
+
+def test_dominance_flags():
+    # VERDICT r8 #6: flag any query >15% of its leg's wall — the
+    # absolute-dominance check that the 12x ratio bar missed for
+    # llm_winnowing (x7.6 ratio but 62% of the sf1 leg)
+    flags = bench._dominance_flags({"a": 62.0, "b": 20.0, "c": 18.0})
+    assert [f["query"] for f in flags] == ["a", "b", "c"]
+    assert flags[0]["share"] == 0.62
+    assert bench._dominance_flags({"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0,
+                                   "e": 1.0, "f": 1.0, "g": 1.0}) == []
+    assert bench._dominance_flags({}) == []
+    assert bench._dominance_flags({"a": 0.0}) == []
