@@ -24,12 +24,26 @@ bucket degrades to star pairing, so two non-min members of that
 bucket lose their direct pair and must surface through one of the
 other chunks — with only ``chunks``-fold redundancy (4 here, vs 16
 LSH bands in minhash.py), candidate recall on hot buckets is
-therefore APPROXIMATE, not guaranteed.  The default bound is 1024
-(4x the LSH default): simhash star/quad pairs carry two longs, not
-two 64-long signature arrays, so a 1024-wide bucket's ~500k
-quadratic pairs cost ~12 MB — cheap insurance for the weaker
-redundancy.  Dense clusters always stay connected through the
-representative, which is what the downstream CC pass consumes.
+therefore APPROXIMATE, not guaranteed.
+
+The default bound is 256, chosen by MEASUREMENT, not guesswork
+(tools/measure_simhash_recall.py, planted 16.3k-doc corpus with
+clusters at widths 20 / 600 / 5000 — the 600s sit inside the
+contested (256, 1024] band where the two bounds actually differ):
+
+  bound   copy-copy direct  cluster connectivity   sf10 cost (r8)
+  256     0.761             0.9998                 10-16 s
+  1024    0.828             1.0000                 201 s
+  None    1.000             1.0000                 quadratic (883 s r7)
+
+Cluster connectivity — the property the downstream CC/dedup pass
+consumes (star pairing keeps every member linked through the
+representative; parent-copy recall is 1.0 at every bound) — is
+within 2e-4 of perfect at BOTH bounds, so round 8's 256 -> 1024
+raise bought +6.7pp of direct-pair margin for ~15x the sf10 cost.
+The floors are pinned by tests/test_skew_stress.py; raise the knob
+per-call when a radius-join consumer needs direct pairs inside hot
+buckets more than it needs the throughput.
 """
 
 from __future__ import annotations
@@ -72,7 +86,7 @@ def simhash_chunk_candidates(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     chunks: int = 4,
-    max_bucket_size: int | None = 1024,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 exact 16-bit fingerprint chunk (the
     multi-index Hamming-ball trick: distance ≤ chunks-1 guarantees a

@@ -184,3 +184,81 @@ def test_hot_bucket_star_degrade_bounds_pairs_and_keeps_connectivity(spark):
     # every hot member is in ONE component (connectivity preserved)
     assert hot.count() == k
     assert hot.select("comp").distinct().count() == 1
+
+
+def test_simhash_recall_floor_at_shipped_bound(spark):
+    """Pin the measured recall floors behind simhash's shipped
+    hot-bucket bound (256, chosen by tools/measure_simhash_recall.py:
+    copy-copy direct 0.761 / connectivity 0.9998 vs 201 s at sf10 for
+    the 1024 bound).  A smaller planted corpus with the same three
+    width regimes: narrow clusters (width 10, all-vs-all), contested
+    clusters (width 400 > 256, star-degraded at the default), and the
+    floor assertions on each ground-truth set."""
+    import numpy as np
+
+    from pg_telemetry_spark.operators.components import connected_components
+    from pg_telemetry_spark.operators.simhash import (
+        hamming,
+        simhash,
+        simhash_chunk_candidates,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(3000)])
+    rows, pc, cc = [], [], []
+    did = 0
+    for t, width in [(0, 10)] * 20 + [(0, 400)] * 3:
+        toks = vocab[rng.integers(0, len(vocab), 40)]
+        pid = did
+        rows.append((did, " ".join(toks)))
+        did += 1
+        members = []
+        for _ in range(width):
+            cp = toks.copy()
+            for pos in rng.choice(40, rng.integers(1, 3), replace=False):
+                cp[pos] = vocab[rng.integers(0, len(vocab))]
+            rows.append((did, " ".join(cp)))
+            pc.append((pid, did))
+            members.append(did)
+            did += 1
+        m = np.array(members)
+        k = min(2000, len(m) * 5)
+        a, b = m[rng.integers(0, len(m), k)], m[rng.integers(0, len(m), k)]
+        cc += [(int(min(x, y)), int(max(x, y))) for x, y in zip(a, b) if x != y]
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = simhash(d).persist()
+    f1 = fp.select(F.col("doc_id").alias("pid"), F.col("simhash").alias("s1"))
+    f2 = fp.select(F.col("doc_id").alias("cid"), F.col("simhash").alias("s2"))
+
+    def truth(pairs):
+        g = spark.createDataFrame(sorted(set(pairs)), "pid long, cid long")
+        return (
+            g.join(f1, "pid").join(f2, "cid")
+            .filter(hamming(F.col("s1"), F.col("s2")) <= 3)
+            .select("pid", "cid")
+            .collect()
+        )
+
+    gt_pc, gt_cc = truth(pc), truth(cc)
+    assert len(gt_pc) > 250 and len(gt_cc) > 150  # the plant planted
+
+    cand = simhash_chunk_candidates(fp).filter(F.col("hamming") <= 3).persist()
+    direct = {
+        (min(r["id1"], r["id2"]), max(r["id1"], r["id2"])) for r in cand.collect()
+    }
+    comp = {r["id"]: r["comp"] for r in connected_components(cand).collect()}
+
+    # parent-copy: the representative path keeps every pair connected
+    pc_conn = sum(comp.get(r["pid"]) == comp.get(r["cid"]) for r in gt_pc) / len(gt_pc)
+    assert pc_conn >= 0.999, pc_conn
+    # copy-copy floors at the shipped default (measured 0.761 / 0.9998
+    # on the 16.3k corpus; floors leave margin for corpus draw)
+    cc_direct = sum(
+        (min(r["pid"], r["cid"]), max(r["pid"], r["cid"])) in direct for r in gt_cc
+    ) / len(gt_cc)
+    cc_conn = sum(comp.get(r["pid"]) == comp.get(r["cid"]) for r in gt_cc) / len(gt_cc)
+    assert cc_direct >= 0.70, cc_direct
+    assert cc_conn >= 0.995, cc_conn
+    fp.unpersist()
+    cand.unpersist()

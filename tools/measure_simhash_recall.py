@@ -117,24 +117,35 @@ def build_corpus(hot: int = 5000, seed: int = 9):
 def main() -> None:
     hot = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     spark = get_session()
-    docs, pairs = build_corpus(hot)
+    docs, pairs, cc_pairs = build_corpus(hot)
     d = spark.createDataFrame(
         [(i, t) for i, _, t in docs], "doc_id long, text string"
     ).repartition(16)
     fp = simhash(d).persist()
     fp.count()
-    gt = spark.createDataFrame(pairs, "pid long, cid long")
-    f1 = fp.select(F.col("doc_id").alias("pid"), F.col("simhash").alias("s1"))
-    f2 = fp.select(F.col("doc_id").alias("cid"), F.col("simhash").alias("s2"))
-    gt_h = (
-        gt.join(f1, "pid")
-        .join(f2, "cid")
-        .select("pid", "cid", hamming(F.col("s1"), F.col("s2")).alias("h"))
-        .filter(F.col("h") <= 3)
-        .persist()
-    )
-    n_gt = gt_h.count()
-    out = {"hot": hot, "n_docs": len(docs), "n_gt_pairs_h3": n_gt, "bounds": {}}
+
+    def truth(pair_list):
+        gt = spark.createDataFrame(pair_list, "pid long, cid long")
+        f1 = fp.select(F.col("doc_id").alias("pid"), F.col("simhash").alias("s1"))
+        f2 = fp.select(F.col("doc_id").alias("cid"), F.col("simhash").alias("s2"))
+        return (
+            gt.join(f1, "pid")
+            .join(f2, "cid")
+            .select("pid", "cid", hamming(F.col("s1"), F.col("s2")).alias("h"))
+            .filter(F.col("h") <= 3)
+            .persist()
+        )
+
+    gt_pc = truth(pairs)
+    gt_cc = truth(cc_pairs)
+    n_pc, n_cc = gt_pc.count(), gt_cc.count()
+    out = {
+        "hot": hot,
+        "n_docs": len(docs),
+        "n_gt_parent_copy_h3": n_pc,
+        "n_gt_copy_copy_h3": n_cc,
+        "bounds": {},
+    }
     for bound in (256, 1024, None):
         t0 = time.time()
         cand = (
@@ -147,24 +158,36 @@ def main() -> None:
         norm = cand.select(
             F.least("id1", "id2").alias("a"), F.greatest("id1", "id2").alias("b")
         ).distinct()
-        direct = (
-            gt_h.select(
-                F.least("pid", "cid").alias("a"), F.greatest("pid", "cid").alias("b")
-            )
-            .join(norm, ["a", "b"], "left_semi")
-            .count()
-        )
         comp = connected_components(cand)
         c1 = comp.select(F.col("id").alias("pid"), F.col("comp").alias("cp"))
         c2 = comp.select(F.col("id").alias("cid"), F.col("comp").alias("cc"))
-        conn = (
-            gt_h.join(c1, "pid").join(c2, "cid").filter(F.col("cp") == F.col("cc")).count()
-        )
+
+        def recalls(gt_h, n_gt):
+            if not n_gt:
+                return None, None
+            direct = (
+                gt_h.select(
+                    F.least("pid", "cid").alias("a"),
+                    F.greatest("pid", "cid").alias("b"),
+                )
+                .join(norm, ["a", "b"], "left_semi")
+                .count()
+            )
+            conn = (
+                gt_h.join(c1, "pid")
+                .join(c2, "cid")
+                .filter(F.col("cp") == F.col("cc"))
+                .count()
+            )
+            return round(direct / n_gt, 4), round(conn / n_gt, 4)
+
+        pc_d, pc_c = recalls(gt_pc, n_pc)
+        cc_d, cc_c = recalls(gt_cc, n_cc)
         row = {
             "wall_s": round(wall, 2),
             "n_candidates": n_cand,
-            "recall_direct": round(direct / n_gt, 4) if n_gt else None,
-            "recall_conn": round(conn / n_gt, 4) if n_gt else None,
+            "parent_copy": {"recall_direct": pc_d, "recall_conn": pc_c},
+            "copy_copy": {"recall_direct": cc_d, "recall_conn": cc_c},
         }
         out["bounds"][str(bound)] = row
         print(json.dumps({"bound": bound, **row}), flush=True)
