@@ -11,8 +11,10 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     curation,
     dataeng,
     flagship,
+    graph_ops,
     joins,
     llm,
+    mixture,
     llm_ext,
     nulls,
     patterns,

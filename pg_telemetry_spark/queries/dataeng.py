@@ -825,3 +825,137 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "dq_outlier_iqr",
+    group="dq",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n_rows,
+       round(q.q1, 6) AS q1,
+       round(q.q3, 6) AS q3,
+       count(*) FILTER (WHERE l.l_extendedprice
+                              < q.q1 - 1.5 * (q.q3 - q.q1)) AS n_low,
+       count(*) FILTER (WHERE l.l_extendedprice
+                              > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_high,
+       min(l.l_orderkey) FILTER (WHERE l.l_extendedprice
+                              > q.q3 + 1.5 * (q.q3 - q.q1)) AS min_high_order
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY l.l_returnflag, q.q1, q.q3
+""",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per return flag: exact interpolated
+    quartiles (agg_percentile's quantile_cont parity discipline),
+    1.5-IQR fences, per-group outlier counts below/above with a
+    sample order key for triage.
+
+    Scale shape: two passes over the fact table — one grouped exact
+    percentile (Spark's percentile agg is a single shuffle; at
+    warehouse scale swap in approx_percentile and re-grade tier C),
+    then fences join back as a BROADCAST 3-row table so the counting
+    pass is map-side only plus the final 3-key agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col("l_extendedprice") < lo).alias("n_low"),
+            F.count_if(F.col("l_extendedprice") > hi).alias("n_high"),
+            F.min(F.when(F.col("l_extendedprice") > hi, F.col("l_orderkey"))).alias(
+                "min_high_order"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            "n_low",
+            "n_high",
+            "min_high_order",
+        )
+    )
+
+
+@query("agg_tdigest", group="aggs", tier="C")
+def agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest percentile rollup (Dunning & Ertl 2019) over event
+    values per event_type: per-Arrow-batch partial digests built
+    map-side (mapInPandas, numpy kernel — no shuffle of raw values),
+    merged per group behind ONE shuffle of centroid arrays (~2*delta
+    doubles per partial, vs millions of raw rows), then p50/p95/p99
+    interpolated from the merged digest.
+
+    This is the MERGEABLE-sketch pattern (same family as
+    agg_hll_rollup): at 100 TB the partial-digest table is a
+    per-(group, partition) artifact that re-aggregates to any grain
+    without re-reading raw data.  Tier C: the sketch is approximate
+    by design; tests/test_units_tdigest.py pins rank error <= 0.01
+    vs exact quantiles and exact-match on the count column."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_telemetry_spark.operators.tdigest import (
+        merge_centroids,
+        quantile,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for et, grp in pdf.groupby("event_type", sort=True):
+                v = grp["value"].to_numpy(dtype="float64")
+                m, w = merge_centroids(v, np.ones(len(v)))
+                yield pd.DataFrame(
+                    {
+                        "event_type": [et],
+                        "means": [m.tolist()],
+                        "weights": [w.tolist()],
+                    }
+                )
+
+    part = e.mapInPandas(
+        partials, schema="event_type string, means array<double>, weights array<double>"
+    )
+
+    def reduce_group(key, pdf):
+        m = np.concatenate([np.asarray(x) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
+        mm, mw = merge_centroids(m, w)
+        p50, p95, p99 = quantile(mm, mw, [0.5, 0.95, 0.99])
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_rows": [int(round(mw.sum()))],
+                "n_centroids": [len(mm)],
+                "p50_est": [round(p50, 6)],
+                "p95_est": [round(p95, 6)],
+                "p99_est": [round(p99, 6)],
+            }
+        )
+
+    return part.groupBy("event_type").applyInPandas(
+        reduce_group,
+        schema=(
+            "event_type string, n_rows long, n_centroids long, "
+            "p50_est double, p95_est double, p99_est double"
+        ),
+    )

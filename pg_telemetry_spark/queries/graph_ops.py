@@ -1,0 +1,210 @@
+"""Graph analytics over the co-purchase graph (round 9).
+
+The part co-purchase graph — vertices are parts, an edge joins two
+parts that appear in the same order — is the fixture's natural graph
+workload: dense enough for triangles (every k-item order contributes
+C(k,3) of them), skewed enough at scale to exercise the same
+hot-key discipline as the dedup family.
+
+Scale shapes, stated up front:
+- Edge construction is a per-order self-join: ONE shuffle on
+  l_orderkey, pair fan-out bounded by the per-order line count
+  (<= 7 lines -> <= 21 pairs per order), then a distinct on the
+  (u, v) key.  No quadratic term in the corpus.
+- Triangle counting uses the ORDERED algorithm (u < v < w): each
+  edge is stored once with its endpoints ordered, wedges are an
+  equi-join on the middle vertex, closure is an equi-join on the
+  (u, w) key — the standard 2-join distributed triangle count whose
+  wedge volume is bounded by sum(deg^2) of the FILTERED graph.  The
+  query windows the graph to one order-month, the same restriction a
+  production co-visitation job runs per time slice; the full-history
+  graph belongs to the degree query, whose plan is groupBys only.
+- PageRank (tier C) is the iterative power method: k bounded rounds,
+  each ONE shuffle (contributions grouped by destination); the
+  driver never sees a row (uniform init, no dangling mass in an
+  undirected co-purchase graph; convergence is fixed-k, not a
+  collect-and-test loop).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+_MONTH_LO = "1997-03-01"
+_MONTH_HI = "1997-04-01"
+
+
+def _month_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_partkey) distinct, one order-month window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_MONTH_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_MONTH_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def copurchase_edges(items: DataFrame) -> DataFrame:
+    """Ordered distinct edges (u < v) from per-order item pairs.
+
+    Per-order self-join: one shuffle on the order key, fan-out
+    bounded by the per-order item count, then a distinct on (u, v).
+    """
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+@query(
+    "wl_copurchase_triangles",
+    group="graph",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{_MONTH_LO}'
+    AND o.o_orderdate <  TIMESTAMP '{_MONTH_HI}'
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT p.p_brand,
+       count(*) AS n_triangles,
+       min(t.a) AS min_part
+FROM tri t JOIN part p ON t.a = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def wl_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the one-month co-purchase graph, grouped by
+    the brand of the triangle's smallest part.  Ordered algorithm
+    (u < v < w): wedges = edges joined on the middle vertex, closed by
+    an equi-join on the outer pair — 2 shuffle joins on uniform part
+    keys, never an all-pairs step; every triangle is produced exactly
+    once, no /6 correction or symmetric edge blowup.  The brand dim
+    attaches via broadcast."""
+    e = copurchase_edges(_month_items(spark, sf_dir))
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        tri.join(F.broadcast(p), tri["a"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_triangles"), F.min("a").alias("min_part"))
+    )
+
+
+@query(
+    "wl_copurchase_degree",
+    group="graph",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT part, count(*) AS degree
+  FROM (SELECT u AS part FROM e UNION ALL SELECT v AS part FROM e)
+  GROUP BY part
+)
+SELECT degree, count(*) AS n_parts, min(part) AS min_part
+FROM deg GROUP BY degree
+""",
+)
+def wl_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the FULL-history co-purchase graph — the
+    skew census a graph job runs before choosing its partitioning.
+    Plan is joins-then-groupBys on uniform keys: per-order pair
+    fan-out (bounded), edge distinct, a union-all degree count, and a
+    final histogram on the degree value.  At 100 TB every stage is a
+    hash shuffle on an 8-byte key; no window, no driver data."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    e = copurchase_edges(li)
+    deg = (
+        e.select(F.col("u").alias("part"))
+        .unionByName(e.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_parts"), F.min("part").alias("min_part")
+    )
+
+
+@query("wl_pagerank", group="graph", tier="C")
+def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 8 fixed rounds) on the one-month
+    co-purchase graph; returns the top-20 parts by rank.
+
+    Power iteration as pure DataFrame ops: symmetrize the ordered
+    edge list, precompute out-degrees ONCE (joined per round, not
+    recomputed), then each round is contributions = ranks/deg
+    exploded along edges, grouped by destination — ONE shuffle per
+    round on the vertex key.  Fixed k=8 keeps the loop free of
+    driver-side convergence collects (the same discipline as
+    llm_dedup_cc's bounded rounds); each round's ranks are
+    localCheckpointed to TRUNCATE lineage — persist alone leaves the
+    logical plan compounding until its explain string OOMs a default
+    driver (found by the plain-session driver sim, round 9); a real
+    cluster swaps in reliable checkpoints.  An undirected co-purchase
+    graph has no dangling vertices (every vertex has >= 1 edge), so
+    the teleport term is the constant (1-d)/N.  Tier C: golden test
+    pins the result against a local numpy power iteration
+    (tests/test_units_graph.py); float rank sums are order-dependent
+    so no SQL hash oracle."""
+    e = copurchase_edges(_month_items(spark, sf_dir))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    n_v = sym.select("u").distinct().count()
+    d = 0.85
+    ranks = deg.select("u", F.lit(1.0 / n_v).alias("rank"))
+    edges_deg = sym.join(deg, "u").persist()
+    for _ in range(8):
+        contribs = (
+            edges_deg.join(ranks, "u")
+            .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = contribs.select(
+            "u", (F.lit((1.0 - d) / n_v) + F.lit(d) * F.col("inflow")).alias("rank")
+        )
+        # localCheckpoint TRUNCATES the lineage (persist alone does
+        # not: the logical tree still compounds per round and its
+        # explain string alone OOMs a default driver by round 8); on
+        # a real cluster swap in reliable checkpointing to survive
+        # executor loss
+        ranks = new_ranks.localCheckpoint(eager=True)
+    out = (
+        ranks.select(F.col("u").alias("part"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "part")
+        .limit(20)
+    )
+    rows = out.collect()  # small: detach from the persisted lineage
+    sym.unpersist()
+    edges_deg.unpersist()
+    return spark.createDataFrame(rows, out.schema)

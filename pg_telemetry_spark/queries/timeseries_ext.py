@@ -787,3 +787,83 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _acf("d2").alias("acf_lag2"),
         _acf("d3").alias("acf_lag3"),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    group="timeseries",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM {EVENTS_V} e GROUP BY 1
+), tr AS (
+  SELECT h, v,
+         CAST(sum(CAST(v AS DECIMAL(18,6)))
+              OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+              AS DOUBLE) / 25 AS trend,
+         count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS wn
+  FROM hourly
+)
+SELECT CAST(extract(hour FROM h) AS INT) AS hod,
+       count(*) AS n_hours,
+       round(CAST(sum(CAST(v - trend AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS seasonal,
+       round(CAST(sum(CAST(abs(v - trend) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_abs_detrended
+FROM tr WHERE wn = 25
+GROUP BY 1
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition of the hourly
+    event-value series: trend = centered 25-hour moving average
+    (full-window rows only, so edges don't bias it), seasonal index =
+    mean detrended value per hour-of-day, plus the mean absolute
+    detrended magnitude as the residual-scale diagnostic.
+
+    Scale shape: the hourly rollup is one hash agg (decimal-exact per
+    the detsum discipline); the moving average is a ROWS window over
+    the compact hourly table — at 100 TB the window runs over
+    hours-not-events (8.8k rows/year regardless of corpus size), so
+    the decomposition costs one agg over raw data plus epsilon.  The
+    hour-of-day regroup is a 24-key agg with decimal-exact sums
+    (order-independent across partitions/retries)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    # decimal-exact frame sum: DuckDB computes sliding windows with a
+    # segment tree, Spark with a running buffer — float order differs,
+    # decimals don't (detsum discipline applied to the window frame)
+    tr = hourly.select(
+        "h",
+        "v",
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).over(w).cast("double") / 25
+        ).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    det = F.col("v") - F.col("trend")
+    return (
+        tr.filter(F.col("wn") == 25)
+        .groupBy(F.hour("h").alias("hod"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(
+                F.sum(det.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("seasonal"),
+            F.round(
+                F.sum(F.abs(det).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_abs_detrended"),
+        )
+    )

@@ -28,31 +28,45 @@ def _compact_line(value: float) -> str:
     return json.dumps(compact, separators=(",", ":"))
 
 
-def test_compact_line_fits_driver_tail_window():
-    # Worst realistic width: every query at a 3-digit-second timing
-    # (the whole 78-query suite runs ~80 s at sf0.1 — a single query
-    # at 999 s is already a 100x regression).  bench emits INTEGER
-    # seconds per query; the driver keeps ~2000 chars and bench
-    # guards at 1900, degrading to an omitted-queries stub past that.
-    line = _compact_line(999)
-    assert len(line) < 1900, (
-        f"compact bench line is {len(line)} chars; it will be "
-        "front-truncated out of the driver's tail capture — trim the "
-        "HEADLINE list or tighten the compact encoding"
-    )
+def test_compact_line_fits_after_shedding_at_realistic_widths():
+    # At 87 names even realistic 2-digit-second widths exceed the
+    # 1900-char guard, so the shed loop is the NORMAL path now: it
+    # must converge below the window while keeping the vast majority
+    # of queries visible (only the fastest handful shed).
+    timings = {n: 12.0 for n in bench.HEADLINE}
+    compact = json.loads(_compact_line(12))
+    line = json.dumps(compact, separators=(",", ":"))
+    by_speed = sorted(timings, key=lambda n: (timings[n], n), reverse=True)
+    while len(line) > 1900 and by_speed:
+        by_speed.pop()
+        compact["queries"] = {n: int(timings[n]) for n in by_speed}
+        compact["queries_omitted"] = len(timings) - len(by_speed)
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) >= len(bench.HEADLINE) - 12
 
 
-def test_compact_line_degrades_to_parseable_stub_past_guard():
-    # Pathological widths (4-digit seconds x 78 names) exceed 1900;
-    # bench then replaces the per-query dict with a count stub.  Pin
-    # that the stubbed line parses and stays inside the window.
-    line = _compact_line(9999)
-    if len(line) > 1900:
-        parsed = json.loads(line)
-        parsed["queries"] = {"omitted_see_full": len(parsed["queries"])}
-        stub = json.dumps(parsed, separators=(",", ":"))
-        assert len(stub) < 1900
-        assert json.loads(stub)["value"] == 9999.999
+def test_compact_line_degrades_by_shedding_fastest_queries():
+    # Past the 1900-char guard bench sheds the FASTEST queries first,
+    # keeping per-query visibility for the slow ones.  Simulate the
+    # shed loop at pathological widths and pin it converges inside
+    # the window with the slowest entries retained.
+    timings = {n: 9999.0 for n in bench.HEADLINE}
+    slow = sorted(timings)[0]
+    timings[slow] = 99999.0  # strictly the slowest -> must survive
+    compact = json.loads(_compact_line(9999))
+    line = json.dumps(compact, separators=(",", ":"))
+    by_speed = sorted(timings, key=lambda n: (timings[n], n), reverse=True)
+    while len(line) > 1900 and by_speed:
+        by_speed.pop()
+        compact["queries"] = {n: int(timings[n]) for n in by_speed}
+        compact["queries_omitted"] = len(timings) - len(by_speed)
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert slow in parsed["queries"]
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == len(timings)
 
 
 def test_compact_line_is_parseable_json_with_contract_keys():

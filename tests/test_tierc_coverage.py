@@ -19,6 +19,14 @@ from pg_telemetry_spark.registry import all_queries
 #: named after the query; the rest pin the same semantics through the
 #: underlying operator API.
 COVERING_TESTS = {
+    "agg_tdigest": (
+        "tests.test_units_tdigest",
+        "test_spark_tdigest_counts_exact_and_estimates_close",
+    ),
+    "wl_pagerank": (
+        "tests.test_units_graph",
+        "test_pagerank_matches_numpy_power_iteration",
+    ),
     "agg_approx_cd": ("tests.test_units_timeseries", "test_approx_count_distinct_within_5pct"),
     "agg_approx_pct": ("tests.test_units_workload", "test_approx_percentile_error_bounded"),
     "agg_heavy_hitters_mg": ("tests.test_units_dataeng", "test_misra_gries_guarantees"),

@@ -1,0 +1,83 @@
+"""Graph-ops goldens: pagerank vs a local numpy power iteration, and
+structural pins for the ordered triangle count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pg_telemetry_spark.queries.graph_ops import (
+    _month_items,
+    copurchase_edges,
+    wl_copurchase_triangles,
+    wl_pagerank,
+)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """The distributed 8-round power method must match a dense local
+    power iteration on the same edges (same damping, same rounds) to
+    float precision well beyond the 8-dp rounding in the output."""
+    edges = [
+        (r["u"], r["v"])
+        for r in copurchase_edges(_month_items(spark, sf_dir)).collect()
+    ]
+    verts = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = [[] for _ in range(n)]
+    deg = np.zeros(n)
+    for u, v in edges:
+        adj[idx[u]].append(idx[v])
+        adj[idx[v]].append(idx[u])
+        deg[idx[u]] += 1
+        deg[idx[v]] += 1
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(8):
+        new = np.full(n, (1 - d) / n)
+        for i in range(n):
+            share = d * rank[i] / deg[i]
+            for j in adj[i]:
+                new[j] += share
+        rank = new
+    expect = sorted(
+        ((v, rank[idx[v]]) for v in verts), key=lambda t: (-t[1], t[0])
+    )[:20]
+    got = [(r["part"], r["rank"]) for r in wl_pagerank(spark, sf_dir).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gp, gr), (ep, er) in zip(got, expect):
+        assert gr == pytest.approx(er, abs=5e-8), (gp, gr, er)
+
+
+def test_triangles_match_local_enumeration(spark, sf_dir):
+    edges = {
+        (r["u"], r["v"])
+        for r in copurchase_edges(_month_items(spark, sf_dir)).collect()
+    }
+    # local ordered enumeration
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    n_local = 0
+    for a, bs in out.items():
+        bs_set = set(bs)
+        for b in bs:
+            for c in out.get(b, ()):
+                if c in bs_set:
+                    n_local += 1
+    got = wl_copurchase_triangles(spark, sf_dir).agg(F.sum("n_triangles")).collect()
+    assert (got[0][0] or 0) == n_local
+    assert n_local > 0  # the fixture actually has triangles
+
+
+def test_edges_ordered_and_distinct(spark, sf_dir):
+    e = copurchase_edges(_month_items(spark, sf_dir))
+    rows = e.collect()
+    pairs = [(r["u"], r["v"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(u < v for u, v in pairs)
