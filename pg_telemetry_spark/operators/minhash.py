@@ -444,37 +444,42 @@ def incremental_near_duplicates(
     )
     bids = F.broadcast(pair_ids)
 
-    # signature-estimate prefilter (same margin as near_duplicates):
-    # candidate sets are dominated by low-J noise; comparing num_perm
-    # longs is ~8x cheaper than the exact set ops on shingle arrays.
-    # Semi-join pruning first: the full signature table streams past a
-    # broadcast of the candidate ids, so the equi-joins that attach
-    # signatures to pairs shuffle only O(collisions) pruned rows.
+    # FUSED verify (r9, VERDICT r8 #5): semi-prune signatures AND
+    # shingles to the O(collisions) candidate ids (the full tables
+    # stream past the broadcast id set — no exchange over the index),
+    # then join the two PRUNED tables on id into one (id, mh,
+    # shingle_hashes) row set, so the pair expansion is TWO equi-joins
+    # (id1 side, id2 side) instead of the four the split
+    # prefilter/verify stages ran.  The estimate prefilter survives as
+    # a sequential predicate inside the same codegen stage: est >=
+    # threshold-0.15 evaluates before the exact set ops, so low-J
+    # noise pairs still skip array_intersect/array_union without
+    # paying two extra joins for the privilege.
     est_threshold = max(threshold - 0.15, 0.0)
     all_sigs = index_signatures.unionByName(sg_new)
-    sig_pruned = _p(all_sigs.join(bids, id_col, "left_semi"))
-    m1 = sig_pruned.select(F.col(id_col).alias("id1"), F.col("mh").alias("mh1"))
-    m2 = sig_pruned.select(F.col(id_col).alias("id2"), F.col("mh").alias("mh2"))
+    sig_pruned = all_sigs.join(bids, id_col, "left_semi")
+    all_shingles = index_shingles.unionByName(sh_new)
+    sh_pruned = all_shingles.join(bids, id_col, "left_semi")
+    pruned = _p(sig_pruned.join(sh_pruned, id_col))
+    r1 = pruned.select(
+        F.col(id_col).alias("id1"),
+        F.col("mh").alias("mh1"),
+        F.col("shingle_hashes").alias("sh1"),
+    )
+    r2 = pruned.select(
+        F.col(id_col).alias("id2"),
+        F.col("mh").alias("mh2"),
+        F.col("shingle_hashes").alias("sh2"),
+    )
     est = F.size(
         F.filter(F.zip_with("mh1", "mh2", lambda a, b: a == b), lambda x: x)
     ) / F.lit(num_perm)
-    prefiltered = (
-        cands.join(m1, "id1").join(m2, "id2").filter(est >= est_threshold)
-        .select("id1", "id2")
-    )
-
-    # Exact verify over semi-pruned shingle rows (same no-exchange
-    # discipline; shingle arrays are the widest payload, so pruning
-    # before the pair joins matters most here).
-    all_shingles = index_shingles.unionByName(sh_new)
-    sh_pruned = _p(all_shingles.join(bids, id_col, "left_semi"))
-    s1 = sh_pruned.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
-    s2 = sh_pruned.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     pairs = (
-        prefiltered.join(s1, "id1")
-        .join(s2, "id2")
+        cands.join(r1, "id1")
+        .join(r2, "id2")
+        .filter(est >= est_threshold)
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
