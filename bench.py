@@ -151,6 +151,13 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "dq_outlier_iqr",
     "agg_tdigest",
+    # round-9 batch 2: cohort LTV, drift monitoring, feature hashing,
+    # Holt forecasting, manifest snapshots
+    "wl_cohort_ltv",
+    "dq_psi_drift",
+    "llm_hash_features",
+    "ts_holt_forecast",
+    "snk_manifest_snapshot",
 ]
 
 

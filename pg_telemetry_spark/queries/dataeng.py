@@ -959,3 +959,77 @@ def agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_est double, p95_est double, p99_est double"
         ),
     )
+
+
+@query(
+    "dq_psi_drift",
+    group="dq",
+    oracle="""
+WITH tagged AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 'early' ELSE 'late' END AS period,
+         least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin
+  FROM orders
+), c AS (
+  SELECT bin,
+         count(*) FILTER (WHERE period = 'early') AS n_early,
+         count(*) FILTER (WHERE period = 'late') AS n_late
+  FROM tagged GROUP BY bin
+), tot AS (
+  SELECT sum(n_early) AS te, sum(n_late) AS tl, count(*) AS nb FROM c
+)
+SELECT c.bin, c.n_early, c.n_late,
+       round((c.n_early + 1.0) / (tot.te + tot.nb), 6) AS p_early,
+       round((c.n_late + 1.0) / (tot.tl + tot.nb), 6) AS p_late,
+       round(((c.n_early + 1.0) / (tot.te + tot.nb)
+              - (c.n_late + 1.0) / (tot.tl + tot.nb))
+             * ln(((c.n_early + 1.0) / (tot.te + tot.nb))
+                  / ((c.n_late + 1.0) / (tot.tl + tot.nb))), 6) AS psi_term
+FROM c CROSS JOIN tot
+""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift screen: order totals binned
+    into fixed-width buckets (deterministic bounds, never data-driven
+    quantile edges), early (<1998) vs late period frequencies with
+    add-one smoothing, per-bin PSI terms — sum > 0.2 is the classic
+    retrain/investigate alarm.  The monitoring query every feature
+    pipeline schedules.
+
+    Scale shape: one map-side bin projection + a 10-key hash agg; the
+    denominators ride a broadcast 1-row scalar (llm_tfidf pattern).
+    Fixed bins make the report reproducible across engines and runs —
+    quantile edges would drift with the data under comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "early"
+        )
+        .otherwise("late")
+        .alias("period"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+    )
+    c = tagged.groupBy("bin").agg(
+        F.count_if(F.col("period") == "early").alias("n_early"),
+        F.count_if(F.col("period") == "late").alias("n_late"),
+    )
+    tot = c.agg(
+        F.sum("n_early").alias("te"),
+        F.sum("n_late").alias("tl"),
+        F.count("*").alias("nb"),
+    )
+    pe = (F.col("n_early") + 1.0) / (F.col("te") + F.col("nb"))
+    pl = (F.col("n_late") + 1.0) / (F.col("tl") + F.col("nb"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_early",
+            "n_late",
+            F.round(pe, 6).alias("p_early"),
+            F.round(pl, 6).alias("p_late"),
+            F.round((pe - pl) * F.log(pe / pl), 6).alias("psi_term"),
+        )
+    )

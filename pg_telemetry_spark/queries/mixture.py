@@ -240,3 +240,52 @@ def llm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("b_n"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "llm_hash_features",
+    group="mixture",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT tok,
+         ((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)) % 64
+           AS bucket
+  FROM toks
+)
+SELECT bucket,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct,
+       min(tok) AS sample_tok
+FROM hashed GROUP BY bucket
+""",
+)
+def llm_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    project an unbounded vocabulary into a fixed 64-bucket feature
+    space via an engine-independent md5 bucket — the collision report
+    per bucket (token mass, distinct tokens, deterministic sample) is
+    what you inspect before committing to a hashed-feature width.
+
+    Scale shape: explode + map-side bucket projection + one 64-key
+    hash agg with map-side combine; the vocabulary never materializes
+    anywhere (that's the point of the trick — memory is O(buckets)
+    regardless of corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    hexd = "0123456789abcdef"
+    bucket = (
+        (F.expr(f"instr('{hexd}', substring(md5(tok), 1, 1))") - 1) * 16
+        + (F.expr(f"instr('{hexd}', substring(md5(tok), 2, 1))") - 1)
+    ) % 64
+    return (
+        toks.select("tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.min("tok").alias("sample_tok"),
+        )
+    )

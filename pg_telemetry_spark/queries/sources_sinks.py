@@ -302,3 +302,61 @@ def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "disposition string, n_rows bigint, score_sum bigint",
     )
+
+
+@query("snk_manifest_snapshot", group="sources", tier="C")
+def snk_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot isolation over plain Parquet — the
+    table-format primitive (Iceberg/Delta's core idea) built from
+    parts available offline: a snapshot is an immutable JSON manifest
+    listing exactly the data files it covers; a commit writes NEW
+    files plus a NEW manifest (never mutating old files), so readers
+    pinned to manifest v1 see v1 forever (time travel) and a reader
+    picking up v2 sees the rewrite atomically — the manifest swap is
+    the only commit point.
+
+    Here: v1 = events in two hash-split files; v2 rewrites split 0
+    (values doubled — an UPDATE via copy-on-write) and reuses split
+    1's file untouched.  Returns per-version row counts and decimal
+    value sums read back STRICTLY through the manifests; the v1 row
+    must be byte-identical to a pre-commit read (pinned by
+    tests/test_units_sources.py).
+
+    At 100 TB this is exactly how partition-overwrite stays atomic
+    without a table format dependency: the manifest is one small file
+    on object storage, committed last; concurrent readers resolve
+    file lists from whichever manifest version they opened."""
+    import json as _json
+
+    tmp = tempfile.mkdtemp(prefix="pgts_snap_")
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    split0 = events.filter(F.pmod("event_id", F.lit(2)) == 0)
+    split1 = events.filter(F.pmod("event_id", F.lit(2)) == 1)
+    split0.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f0_v1")
+    split1.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f1_v1")
+    _json.dump(
+        {"version": 1, "files": [f"{tmp}/f0_v1", f"{tmp}/f1_v1"]},
+        open(f"{tmp}/manifest-v1.json", "w"),
+    )
+    # copy-on-write commit: rewrite split 0 with doubled values; the
+    # new manifest reuses split 1's file without touching it
+    split0.withColumn("value", F.col("value") * 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/f0_v2")
+    _json.dump(
+        {"version": 2, "files": [f"{tmp}/f0_v2", f"{tmp}/f1_v1"]},
+        open(f"{tmp}/manifest-v2.json", "w"),
+    )
+
+    out = []
+    for v in (1, 2):
+        m = _json.load(open(f"{tmp}/manifest-v{v}.json"))
+        snap = spark.read.parquet(*m["files"])
+        row = snap.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        ).collect()[0]
+        out.append((m["version"], row["n"], float(round(row["s"], 6))))
+    return spark.createDataFrame(
+        out, "version int, n_rows long, sum_value double"
+    )

@@ -867,3 +867,69 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_detrended"),
         )
     )
+
+
+@query("ts_holt_forecast", group="timeseries", tier="C")
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing per event-type hourly
+    series (alpha=0.5, beta=0.3, level/trend initialized from the
+    first two observations), with the 24-hour-ahead forecast — the
+    capacity-planning extrapolation dashboards run on counter series.
+
+    Scale shape: the hourly rollup is one hash agg over raw events;
+    the smoothing recursion is inherently sequential PER SERIES, so
+    it runs inside applyInPandas — one shuffle on the series key,
+    each series a numpy fold in its own task (at 100 TB: thousands of
+    independent series smooth in parallel; no series ever crosses a
+    partition).  Tier C: golden test re-runs the recursion locally
+    (tests/test_units_timeseries_ext.py)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+
+    def holt(key, pdf):
+        pdf = pdf.sort_values("h")
+        v = pdf["v"].to_numpy(dtype="float64")
+        if len(v) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_hours": [len(v)],
+                    "level": [float(v[0]) if len(v) else None],
+                    "trend": [0.0],
+                    "forecast_24h": [float(v[0]) if len(v) else None],
+                }
+            )
+        alpha, beta = 0.5, 0.3
+        level, trend = v[0], v[1] - v[0]
+        for x in v[1:]:
+            prev = level
+            level = alpha * x + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_hours": [len(v)],
+                "level": [round(level, 6)],
+                "trend": [round(trend, 6)],
+                "forecast_24h": [round(level + 24 * trend, 6)],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, n_hours long, level double, "
+            "trend double, forecast_24h double"
+        ),
+    )

@@ -612,3 +612,89 @@ def wl_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("prob"),
     )
+
+
+@query(
+    "wl_cohort_ltv",
+    group="workload",
+    oracle="""
+WITH first_m AS (
+  SELECT o_custkey,
+         min(CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+             + CAST(extract(month FROM o_orderdate) AS BIGINT)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+), aged AS (
+  SELECT f.cohort_m,
+         (CAST(extract(year FROM o.o_orderdate) AS BIGINT) * 12
+          + CAST(extract(month FROM o.o_orderdate) AS BIGINT)) - f.cohort_m
+           AS age_months,
+         o.o_custkey, o.o_totalprice
+  FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+), per AS (
+  SELECT cohort_m, age_months,
+         count(DISTINCT o_custkey) AS n_active,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM aged WHERE age_months < 6 GROUP BY cohort_m, age_months
+)
+SELECT cohort_m, age_months, n_active,
+       round(rev, 2) AS revenue,
+       round(CAST(sum(CAST(rev AS DECIMAL(18,6)))
+                  OVER (PARTITION BY cohort_m ORDER BY age_months)
+             AS DOUBLE), 2) AS cum_revenue
+FROM per
+""",
+)
+def wl_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month (integer year*12+month — engine-independent month
+    arithmetic, no months_between fractions), revenue per cohort-age
+    for the first 6 months, with the running cumulative LTV per
+    cohort.  The analytics query every subscription/commerce
+    dashboard runs.
+
+    Scale shape: first-order month is one groupBy(custkey) min; the
+    age tag joins it back on the customer key (at 100 TB both sides
+    hash-partition on custkey — co-located); per-(cohort, age) agg is
+    decimal-exact (detsum), and the cumulative window runs over the
+    TINY per-cohort result (80 cohorts x 6 ages), not raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    om = (F.year("o_orderdate").cast("bigint") * 12 + F.month("o_orderdate")).alias(
+        "om"
+    )
+    first_m = (
+        o.select("o_custkey", om)
+        .groupBy("o_custkey")
+        .agg(F.min("om").alias("cohort_m"))
+    )
+    aged = (
+        o.select("o_custkey", "o_totalprice", om)
+        .join(first_m, "o_custkey")
+        .select(
+            "cohort_m",
+            (F.col("om") - F.col("cohort_m")).alias("age_months"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .filter(F.col("age_months") < 6)
+    )
+    per = aged.groupBy("cohort_m", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_months")
+    return per.select(
+        "cohort_m",
+        "age_months",
+        "n_active",
+        # 2-dp (cents) rounding: cohort cumulative revenue reaches
+        # ~4e9 at sf1, where 6 decimals needs 16 significant digits —
+        # past double precision, so engine round() results diverge by
+        # an ulp (caught by the on-landing sf1 sweep); 2 dp is 12-13
+        # digits, inside the exact range
+        F.round("rev", 2).alias("revenue"),
+        F.round(
+            F.sum(F.col("rev").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("cum_revenue"),
+    )

@@ -19,6 +19,14 @@ from pg_telemetry_spark.registry import all_queries
 #: named after the query; the rest pin the same semantics through the
 #: underlying operator API.
 COVERING_TESTS = {
+    "snk_manifest_snapshot": (
+        "tests.test_units_sources",
+        "test_manifest_snapshot_time_travel",
+    ),
+    "ts_holt_forecast": (
+        "tests.test_units_timeseries_ext",
+        "test_holt_forecast_matches_local_recursion",
+    ),
     "agg_tdigest": (
         "tests.test_units_tdigest",
         "test_spark_tdigest_counts_exact_and_estimates_close",

@@ -50,3 +50,31 @@ def test_sort_partitions_all_sorted_no_rows_lost(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert out[True].n_rows == n_events, "layout pass dropped or duplicated rows"
     assert out[True].n_partitions == 8  # repartition(8) target
+
+
+def test_manifest_snapshot_time_travel(spark, sf_dir):
+    """Golden for snk_manifest_snapshot (tier C): v1 must equal the
+    pre-commit source aggregate (time travel — the v2 rewrite cannot
+    leak into a v1 read), and v2 must reflect exactly the
+    copy-on-write update (split-0 values doubled, split 1 reused)."""
+    import pyspark.sql.functions as F
+
+    from pg_telemetry_spark.queries.sources_sinks import snk_manifest_snapshot
+    from pg_telemetry_spark.tables import load_table
+
+    rows = {r["version"]: r for r in snk_manifest_snapshot(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")
+    base = e.agg(
+        F.count("*").alias("n"),
+        dec(F.col("value")).alias("s"),
+        dec(
+            F.when(F.pmod("event_id", F.lit(2)) == 0, F.col("value") * 2).otherwise(
+                F.col("value")
+            )
+        ).alias("s2"),
+    ).collect()[0]
+    assert rows[1]["n_rows"] == base["n"] == rows[2]["n_rows"]
+    assert rows[1]["sum_value"] == round(base["s"], 6)
+    assert rows[2]["sum_value"] == round(base["s2"], 6)
+    assert rows[2]["sum_value"] != rows[1]["sum_value"]

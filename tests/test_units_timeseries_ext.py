@@ -55,3 +55,42 @@ def test_counter_reset_totals(spark, sf_dir):
         assert r.total_increase >= 0
         assert r.n_resets >= 0
     assert sum(r.n_resets for r in rows) > 0
+
+
+def test_holt_forecast_matches_local_recursion(spark, sf_dir):
+    """Golden for ts_holt_forecast (tier C): re-run the Holt
+    level/trend recursion locally over the same hourly series and
+    require exact agreement (same float ops, same order)."""
+    import pyspark.sql.functions as F
+
+    from pg_telemetry_spark.queries.timeseries_ext import ts_holt_forecast
+    from pg_telemetry_spark.tables import load_table
+
+    got = {r["event_type"]: r for r in ts_holt_forecast(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["v"]))
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        v = [x for _, x in sorted(pts)]
+        level, trend = v[0], v[1] - v[0]
+        for x in v[1:]:
+            prev = level
+            level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.3 * (level - prev) + 0.7 * trend
+        assert got[et]["n_hours"] == len(v)
+        assert got[et]["level"] == round(level, 6), et
+        assert got[et]["trend"] == round(trend, 6), et
+        assert got[et]["forecast_24h"] == round(level + 24 * trend, 6), et
