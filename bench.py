@@ -158,6 +158,22 @@ HEADLINE = [
     "llm_hash_features",
     "ts_holt_forecast",
     "snk_manifest_snapshot",
+    # round-9 batch 3: community detection, growth analytics,
+    # residual anomalies, URL canonicalization
+    "wl_label_propagation",
+    "wl_new_vs_returning",
+    "ts_stl_anomaly",
+    "fn_url_normalize",
+    # round-9 batch 4: corpus laws, retail stats, robust estimators
+    "llm_zipf_heaps",
+    "wl_rfm_segments",
+    "wl_market_basket",
+    "wl_gini_revenue",
+    "agg_weighted_median",
+    "dq_iqr_outliers",
+    "wl_data_freshness",
+    "ts_theilsen",
+    "ts_dtw_pairs",
 ]
 
 

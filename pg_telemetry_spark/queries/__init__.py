@@ -22,6 +22,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     scalars,
     sources_sinks,
     sql_surface,
+    stats_ext,
     streaming_ops,
     temporal_ext,
     timeseries,

@@ -1516,3 +1516,118 @@ def wl_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         (below + 1).alias("n_top_for_80pct"),
         F.round((below + 1.0) / F.max("rnk"), 4).alias("top_share_of_base"),
     )
+
+
+@query(
+    "fn_url_normalize",
+    group="scalars",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+                CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+                '.example.', lang,
+                CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+                '/docs/', CAST(doc_id % 500 AS VARCHAR),
+                CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+                '?',
+                CASE WHEN doc_id % 2 = 0
+                     THEN concat('ref=', lang, '&utm_source=feed&page=',
+                                 CAST(doc_id % 7 AS VARCHAR))
+                     ELSE concat('page=', CAST(doc_id % 7 AS VARCHAR),
+                                 '&ref=', lang) END) AS url
+  FROM documents WHERE doc_id < 5000
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1)) AS hostport,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,
+         regexp_extract(url, '\\?(.*)$', 1) AS qs
+  FROM urls
+), canon AS (
+  SELECT doc_id,
+         concat('https://',
+                regexp_replace(hostport, ':443$', ''),
+                regexp_replace(path, '/$', ''),
+                '?',
+                array_to_string(
+                  list_sort(list_filter(string_split(qs, '&'),
+                                        p -> p NOT LIKE 'utm_%')), '&'))
+           AS canonical_url
+  FROM parts
+)
+SELECT canonical_url,
+       count(*) AS n_variants,
+       min(doc_id) AS min_doc
+FROM canon GROUP BY canonical_url
+""",
+)
+def fn_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web-crawl dedup key: lowercase
+    scheme+host, strip the default :443 port and trailing slash, drop
+    utm_* tracking params, SORT the remaining query params; grouping
+    by the canonical form collapses the case/port/param-order/tracking
+    variants of the same resource (the synthetic corpus plants all
+    four variant classes via doc_id residues).
+
+    Scale shape: pure narrow map (regex extracts + array
+    filter/sort/join on short param lists — engine-portable, no UDF)
+    into one hash agg on the canonical key; at 100 TB this is the
+    map-side normalize every crawler runs before llm_dedup_exact."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example."),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("ref="),
+                F.col("lang"),
+                F.lit("&utm_source=feed&page="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("page="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&ref="),
+                F.col("lang"),
+            )
+        ),
+    )
+    parts = d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?]+)", 1)).alias(
+            "hostport"
+        ),
+        F.regexp_extract("url", r"^[a-zA-Z]+://[^/?]+([^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?(.*)$", 1).alias("qs"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.regexp_replace("hostport", ":443$", ""),
+        F.regexp_replace("path", "/$", ""),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split("qs", "&"), lambda p: ~p.startswith("utm_")
+                )
+            ),
+            "&",
+        ),
+    )
+    return (
+        parts.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("min_doc"))
+    )

@@ -102,7 +102,9 @@ def wl_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, never an all-pairs step; every triangle is produced exactly
     once, no /6 correction or symmetric edge blowup.  The brand dim
     attaches via broadcast."""
-    e = copurchase_edges(_month_items(spark, sf_dir))
+    # three consumers read the edge table (e1/e2/e3) — persist so the
+    # month-join + pair fan-out + distinct runs once, not three times
+    e = copurchase_edges(_month_items(spark, sf_dir)).persist()
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -141,7 +143,8 @@ def wl_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     final histogram on the degree value.  At 100 TB every stage is a
     hash shuffle on an 8-byte key; no window, no driver data."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    e = copurchase_edges(li)
+    # two consumers (u-side and v-side of the union) — build edges once
+    e = copurchase_edges(li).persist()
     deg = (
         e.select(F.col("u").alias("part"))
         .unionByName(e.select(F.col("v").alias("part")))
@@ -208,3 +211,44 @@ def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     edges_deg.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@query("wl_label_propagation", group="graph", tier="C")
+def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the one-month co-purchase graph: every vertex
+    starts as its own label; each of 5 fixed rounds reassigns every
+    vertex the MODE of its neighbors' labels (ties to the smallest
+    label — fully deterministic, no random visit order).  Returns the
+    20 largest communities.
+
+    Scale shape per round: one equi-join (edges x labels, vertex key),
+    one (vertex, label) count agg, one per-vertex argmax via unsorted
+    struct-max — three hash shuffles on uniform 8-byte keys, no
+    windows; labels are localCheckpointed per round (same lineage
+    discipline as wl_pagerank).  Tier C: golden replays the same
+    synchronous rounds in local python
+    (tests/test_units_graph.py)."""
+    e = copurchase_edges(_month_items(spark, sf_dir))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    for _ in range(5):
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        cnt = nbr.groupBy("u", "label").agg(F.count("*").alias("c"))
+        best = F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("b")
+        labels = (
+            cnt.groupBy("u")
+            .agg(best)
+            .select("u", (-F.col("b.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"), F.min("u").alias("min_part"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )

@@ -933,3 +933,116 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend double, forecast_24h double"
         ),
     )
+
+
+@query(
+    "ts_stl_anomaly",
+    group="timeseries",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM {EVENTS_V} e GROUP BY 1
+), tr AS (
+  SELECT h, v,
+         CAST(sum(CAST(v AS DECIMAL(18,6)))
+              OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+              AS DOUBLE) / 25 AS trend,
+         count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS wn
+  FROM hourly
+), full_w AS (
+  SELECT h, v, trend,
+         CAST(extract(hour FROM h) AS INT) AS hod,
+         round(v - trend, 6) AS det
+  FROM tr WHERE wn = 25
+), seas AS (
+  SELECT hod,
+         round(CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS s
+  FROM full_w GROUP BY hod
+), resid AS (
+  SELECT f.h, f.v, round(f.det - s.s, 6) AS r
+  FROM full_w f JOIN seas s ON f.hod = s.hod
+), scale AS (
+  SELECT round(sqrt(CAST(sum(CAST(round(r * r, 6) AS DECIMAL(18,6)))
+                         AS DOUBLE) / count(*)), 6) AS sd
+  FROM resid
+)
+SELECT r.h, r.v, r.r AS residual,
+       round(abs(r.r) / scale.sd, 6) AS score
+FROM resid r CROSS JOIN scale
+WHERE abs(r.r) > 3 * scale.sd
+ORDER BY abs(r.r) DESC, r.h LIMIT 10
+""",
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly detection — the STL-style
+    pipeline on top of ts_seasonal_decompose's components: residual =
+    hourly value - moving-average trend - hour-of-day seasonal index;
+    hours where |residual| exceeds 3x the residual RMS are anomalies
+    (top-10 by magnitude).  Catches deviations a plain z-score misses
+    because the expected diurnal swing is subtracted first.
+
+    Scale shape: identical to ts_seasonal_decompose (one raw-data
+    agg, then hours-cardinality windows/joins) plus a broadcast 24-row
+    seasonal join and a broadcast 1-row RMS scalar; every float
+    boundary is rounded-then-decimal-accumulated so the 3-sigma
+    threshold compares IDENTICAL doubles on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "h",
+        "v",
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).over(w).cast("double") / 25
+        ).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    full_w = tr.filter(F.col("wn") == 25).select(
+        "h",
+        "v",
+        "trend",
+        F.hour("h").alias("hod"),
+        F.round(F.col("v") - F.col("trend"), 6).alias("det"),
+    )
+    seas = full_w.groupBy("hod").agg(
+        F.round(
+            F.sum(F.col("det").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("s")
+    )
+    resid = full_w.join(F.broadcast(seas), "hod").select(
+        "h", "v", F.round(F.col("det") - F.col("s"), 6).alias("r")
+    )
+    scale = resid.agg(
+        F.round(
+            F.sqrt(
+                F.sum(F.round(F.col("r") * F.col("r"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("sd")
+    )
+    return (
+        resid.crossJoin(F.broadcast(scale))
+        .filter(F.abs("r") > 3 * F.col("sd"))
+        .select(
+            "h",
+            "v",
+            F.col("r").alias("residual"),
+            F.round(F.abs("r") / F.col("sd"), 6).alias("score"),
+        )
+        .orderBy(F.abs("residual").desc(), "h")
+        .limit(10)
+    )

@@ -698,3 +698,52 @@ def wl_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rev").cast("decimal(18,6)")).over(w).cast("double"), 2
         ).alias("cum_revenue"),
     )
+
+
+@query(
+    "wl_new_vs_returning",
+    group="workload",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM {EVENTS_V} e GROUP BY user_id
+), daily AS (
+  SELECT CAST(e.ts AS DATE) AS day, e.user_id, f.first_day
+  FROM {EVENTS_V} e JOIN firsts f ON e.user_id = f.user_id
+  GROUP BY 1, 2, 3
+)
+SELECT day,
+       count(*) AS n_active,
+       count(*) FILTER (WHERE day = first_day) AS n_new,
+       count(*) FILTER (WHERE day > first_day) AS n_returning,
+       round(CAST(count(*) FILTER (WHERE day > first_day) AS DOUBLE)
+             / count(*), 6) AS returning_rate
+FROM daily GROUP BY day
+""",
+)
+def wl_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the first activation chart
+    on every growth dashboard: a user is 'new' on their first-seen
+    day, 'returning' on any later active day.
+
+    Scale shape: first-seen is one groupBy(user) min; daily active
+    pairs dedupe on (day, user); the classification join is user-key
+    co-partitioned with the first-seen table (at 100 TB both sides
+    hash-partition on user_id — no broadcast needed, no window); the
+    final agg is day-cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    ret = F.count_if(F.col("day") > F.col("first_day"))
+    return daily.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.count_if(F.col("day") == F.col("first_day")).alias("n_new"),
+        ret.alias("n_returning"),
+        F.round(ret.cast("double") / F.count("*"), 6).alias("returning_rate"),
+    )

@@ -44,7 +44,10 @@ def test_compact_line_fits_after_shedding_at_realistic_widths():
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1900
     parsed = json.loads(line)
-    assert len(parsed["queries"]) >= len(bench.HEADLINE) - 12
+    # The 1900-char window holds ~79 two-digit entries; as HEADLINE
+    # grows the shed count grows with it, so pin a proportional floor
+    # (≥70% visible) instead of a fixed headcount.
+    assert len(parsed["queries"]) >= int(len(bench.HEADLINE) * 0.70)
 
 
 def test_compact_line_degrades_by_shedding_fastest_queries():

@@ -133,7 +133,13 @@ BUDGETS = {
     # tests/test_incr_index_plan.py pins that no exchange sits over an
     # index scan.  Count is the wrong metric for this plan; the volume
     # invariant is the budget.
-    "llm_dedup_incr": 18,
+    # r9 fused verify: the raw (unpersisted) plan re-derives the
+    # pruned (id, mh, shingles) table once per pair side, so its
+    # 2-exchange id-join is counted twice here (18 -> 22) — while the
+    # EXECUTED path persists that table once and runs TWO pair joins
+    # instead of four (measured 6.4 s -> 4.7 s at sf0.1).  Every
+    # added exchange still moves only O(collisions) pruned rows.
+    "llm_dedup_incr": 22,
     # r9: single-pass winnowing — ONE evaluation of the Arrow
     # selection kernel feeding exactly two exchanges (groupBy fp with
     # the <=64 stop-fingerprint guard in the same aggregate, then the

@@ -19,6 +19,14 @@ from pg_telemetry_spark.registry import all_queries
 #: named after the query; the rest pin the same semantics through the
 #: underlying operator API.
 COVERING_TESTS = {
+    "ts_dtw_pairs": (
+        "tests.test_units_stats",
+        "test_dtw_pairs_match_local_replay",
+    ),
+    "wl_label_propagation": (
+        "tests.test_units_graph",
+        "test_label_propagation_matches_local_replay",
+    ),
     "snk_manifest_snapshot": (
         "tests.test_units_sources",
         "test_manifest_snapshot_time_travel",

@@ -81,3 +81,39 @@ def test_edges_ordered_and_distinct(spark, sf_dir):
     pairs = [(r["u"], r["v"]) for r in rows]
     assert len(pairs) == len(set(pairs))
     assert all(u < v for u, v in pairs)
+
+
+def test_label_propagation_matches_local_replay(spark, sf_dir):
+    """Golden for wl_label_propagation (tier C): replay the same 5
+    synchronous mode-of-neighbors rounds (ties to smallest label) in
+    local python and require identical community assignment."""
+    from collections import Counter, defaultdict
+
+    from pg_telemetry_spark.queries.graph_ops import wl_label_propagation
+
+    edges = [
+        (r["u"], r["v"])
+        for r in copurchase_edges(_month_items(spark, sf_dir)).collect()
+    ]
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    labels = {v: v for v in adj}
+    for _ in range(5):
+        new = {}
+        for v, nbrs in adj.items():
+            c = Counter(labels[n] for n in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    sizes = Counter(labels.values())
+    expect = sorted(
+        ((lab, n, min(v for v, l in labels.items() if l == lab)) for lab, n in sizes.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r["label"], r["n_members"], r["min_part"])
+        for r in wl_label_propagation(spark, sf_dir).collect()
+    ]
+    assert got == expect
