@@ -174,6 +174,13 @@ HEADLINE = [
     "wl_data_freshness",
     "ts_theilsen",
     "ts_dtw_pairs",
+    # round-9 batch 5: telemetry enrichment & matching
+    "fn_ip_cidr",
+    "fn_useragent",
+    "join_geo_grid",
+    "wl_entity_match",
+    "ts_concurrency",
+    "dq_schema_drift",
 ]
 
 

@@ -19,6 +19,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     nulls,
     patterns,
     relational,
+    enrich_ext,
     scalars,
     sources_sinks,
     sql_surface,
