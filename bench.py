@@ -181,6 +181,12 @@ HEADLINE = [
     "wl_entity_match",
     "ts_concurrency",
     "dq_schema_drift",
+    # round-9 batch 6: data selection, graph cores, Kalman
+    "llm_dsir_resample",
+    "llm_fasttext_score",
+    "wl_kcore",
+    "wl_bfs_hops",
+    "ts_kalman_smooth",
 ]
 
 

@@ -21,6 +21,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     relational,
     enrich_ext,
     scalars,
+    selection_ext,
     sources_sinks,
     sql_surface,
     stats_ext,

@@ -252,3 +252,105 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "label")
         .limit(20)
     )
+
+
+@query("wl_kcore", group="graph", tier="C")
+def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the one-month co-purchase graph: iteratively peel
+    vertices with degree < 3 until a fixpoint (the classic k-core
+    decomposition step used for graph-noise pruning before community
+    detection).  Returns one summary row: surviving vertex/edge
+    counts, the max degree inside the core, and the smallest core
+    vertex.
+
+    Scale shape per round: degree = ONE count agg over the symmetric
+    edge list, survivor filter = ONE semi-join per endpoint on the
+    vertex key; the edge table shrinks monotonically so each round is
+    cheaper than the last.  The fixpoint test collects a single
+    (count) row per round — O(rounds) scalar collects, the same
+    bounded-driver-inventory class as the CC convergence checksum
+    (SCALE.md); edges are localCheckpointed per round to truncate
+    lineage.  Tier C: golden replays the peel in local python
+    (tests/test_units_graph.py)."""
+    k = 3
+    sym = (
+        copurchase_edges(_month_items(spark, sf_dir))
+        .select("u", "v")
+        .unionByName(
+            copurchase_edges(_month_items(spark, sf_dir)).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = sym.count()
+    for _ in range(30):
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = sym.count()  # 1-row convergence scalar per round (bounded)
+        if n == n_prev:
+            break
+        n_prev = n
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    return deg.agg(
+        F.count("*").alias("n_core_vertices"),
+        (F.sum("d") / 2).cast("bigint").alias("n_core_edges"),
+        F.max("d").alias("max_degree"),
+        F.min("u").alias("min_part"),
+    )
+
+
+@query("wl_bfs_hops", group="graph", tier="C")
+def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS reach from the highest-degree vertex (smallest
+    id on ties — a deterministic hub source) of the one-month
+    co-purchase graph: frontier expansion until exhaustion (bounded
+    at 10 hops), reporting vertices first reached at each hop — the
+    reachability primitive behind "within N degrees" graph features.
+
+    Scale shape per round: frontier x edges is ONE equi-join on the
+    vertex key; visited-set subtraction is a left-anti join; both
+    shrink as the frontier saturates.  The loop exits on an empty
+    frontier via a 1-row count collect per hop (bounded scalar
+    inventory, SCALE.md); visited is localCheckpointed per hop.  At
+    100 TB the same loop runs with the visited set bucketed on the
+    vertex key so both joins co-locate.  Tier C: golden replays the
+    BFS in local python (tests/test_units_graph.py)."""
+    e = copurchase_edges(_month_items(spark, sf_dir))
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    src = (
+        deg.agg(F.max(F.struct(F.col("d"), (-F.col("u")).alias("nu"))).alias("b"))
+        .select((-F.col("b.nu")).alias("u"))
+    )
+    visited = src.select("u", F.lit(0).alias("hop")).localCheckpoint(eager=True)
+    frontier = visited.select("u")
+    for hop in range(1, 11):
+        nxt = (
+            sym.join(frontier, "u", "left_semi")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(visited.select("u"), "u", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.count() == 0:  # 1-row scalar per hop (bounded)
+            break
+        visited = visited.unionByName(
+            nxt.select("u", F.lit(hop).alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("hop")
+        .agg(F.count("*").alias("n_vertices"), F.min("u").alias("min_part"))
+        .orderBy("hop")
+    )

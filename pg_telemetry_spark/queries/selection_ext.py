@@ -1,0 +1,271 @@
+"""Data-selection operators for training-corpus construction
+(round 9, batch 6): DSIR importance resampling and a hashed-feature
+linear quality classifier — the two standard "pick the good subset"
+primitives between dedup and tokenization in an LLM data pipeline.
+
+- ``llm_dsir_resample`` follows Data Selection with Importance
+  Resampling (Xie et al. 2023): estimate target vs raw unigram
+  distributions over HASHED feature buckets (bounded vocabulary by
+  construction), score each document with its summed log importance
+  ratio, keep the top 20%.
+- ``llm_fasttext_score`` is the fastText-style supervised filter
+  shape (Joulin et al. 2017) used by CCNet-descended pipelines: mean
+  of hashed-bigram weights under a FIXED deterministic weight table
+  (the container has no trained model; the weights stand in for the
+  learned vector, the pipeline — hash, lookup, average, threshold —
+  is the real one).
+
+Both hash through md5 hex digits (engine-portable: Spark and DuckDB
+md5 agree byte-for-byte) and follow the detsum decimal discipline for
+every float aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg_telemetry_spark.queries.detsum import DSUM_SQL, dsum
+from pg_telemetry_spark.registry import query
+from pg_telemetry_spark.tables import load_table
+
+#: feature-hash width for both operators (2 md5 hex digits)
+_NB = 256
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_bucket_sql(expr: str) -> str:
+    """First-2-hex-digit md5 bucket in [0, 256) — portable SQL."""
+    h = f"md5({expr})"
+    return (
+        f"((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring({h}, 2, 1)) - 1))"
+    )
+
+
+def _md5_bucket_col(col) -> F.Column:
+    h = F.md5(col)
+    return (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    )
+
+
+_WORDS_SQL = """
+  SELECT doc_id, source, lang, w
+  FROM (SELECT doc_id, source, lang,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+"""
+
+
+@query(
+    "llm_dsir_resample",
+    group="llm_ext",
+    oracle=f"""
+WITH words AS ({_WORDS_SQL}), feat AS (
+  SELECT doc_id, source, lang, {_md5_bucket_sql("w")} AS b FROM words
+), tgt AS (
+  SELECT b, count(*) AS c FROM feat WHERE lang = 'en' GROUP BY b
+), raw AS (
+  SELECT b, count(*) AS c FROM feat GROUP BY b
+), tot AS (
+  SELECT (SELECT count(*) FROM feat WHERE lang = 'en') AS nt,
+         (SELECT count(*) FROM feat) AS nr
+), lr AS (
+  SELECT raw.b,
+         round(ln((CAST(coalesce(tgt.c, 0) + 1 AS DOUBLE) / (tot.nt + {_NB}))
+                  / (CAST(raw.c + 1 AS DOUBLE) / (tot.nr + {_NB}))), 6) AS logr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+), scored AS (
+  SELECT f.doc_id, f.source, {DSUM_SQL.format(x="lr.logr")} AS weight
+  FROM feat f JOIN lr ON f.b = lr.b
+  GROUP BY f.doc_id, f.source
+), ranked AS (
+  SELECT doc_id, source, weight,
+         row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rnk,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rnk <= CAST(floor(0.2 * n) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       {DSUM_SQL.format(x="weight")} AS sum_weight
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-unigram
+    (256-bucket) target and raw distributions — target = the English
+    slice standing in for the curated seed corpus — add-one smoothed;
+    per-document weight = decimal-exact sum of per-token PRE-ROUNDED
+    log importance ratios; keep the global top 20% by (weight,
+    doc_id) and report per-source selection counts — the mix shift
+    DSIR induces is exactly what the report shows.
+
+    Scale shape: tokenize is a narrow explode; the bucket
+    distributions are two 256-row aggregates; the per-token log-ratio
+    attach is a BROADCAST join against a 256-row table; doc scoring
+    is one hash agg on doc_id.  The top-20% cut here is a global
+    row_number over doc weights — dimension-sized at fixture scale;
+    at 100 TB the identical selection comes from a t-digest
+    80th-percentile threshold (`agg_tdigest`) applied map-side,
+    trading the global sort for a sketch broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", "source", "lang", _md5_bucket_col(F.col("w")).alias("b"))
+    )
+    words = words.persist()
+    tgt = words.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("ct"))
+    raw = words.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = words.filter(F.col("lang") == "en").count()
+    nr = words.count()
+    lr = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / (nt + _NB))
+                    / ((F.col("cr") + 1).cast("double") / (nr + _NB))
+                ),
+                6,
+            ).alias("logr"),
+        )
+    )
+    scored = (
+        words.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(dsum("logr").alias("weight"))
+    )
+    w_rank = Window.orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    out = (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("rnk") <= F.floor(0.2 * F.col("n")).cast("bigint")).cast(
+                    "bigint"
+                )
+            ).alias("n_selected"),
+            dsum("weight").alias("sum_weight"),
+        )
+        .orderBy("source")
+    )
+    return out
+
+
+_FT_SEED = 2654435761  # Knuth multiplicative constant — fixed "weights"
+
+
+@query(
+    "llm_fasttext_score",
+    group="llm_ext",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         {_md5_bucket_sql("bgw")} AS b
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(arr) - 1),
+                                     i -> concat(arr[i], '_', arr[i+1]))) AS bgw
+        FROM toks)
+), wt AS (
+  SELECT b.doc_id, b.source,
+         round(CAST((b.b * {_FT_SEED}) % 201 AS DOUBLE) / 100.0 - 1.0, 6) AS w
+  FROM bg b
+), ds AS (
+  SELECT doc_id, source,
+         count(*) AS n_bigrams,
+         round({DSUM_SQL.format(x="w")} / count(*), 6) AS score
+  FROM wt GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       {DSUM_SQL.format(x="score")} AS sum_score
+FROM ds GROUP BY source ORDER BY source
+""",
+)
+def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality filter (Joulin et al. 2017; the
+    CCNet / LLaMA-pipeline "keep what looks like Wikipedia" gate):
+    hash each token bigram into 256 buckets, look up a FIXED
+    deterministic weight per bucket (stand-in for the trained
+    embedding — no model ships in this container), score a document
+    as the mean bucket weight, classify positive above 0.  Reported
+    per source: document count, positives, decimal-exact score sum.
+
+    Bigram pairing stays INSIDE the token array on both engines
+    (zip_with over two shifted slices / list_transform over
+    positions) — no per-token explode-then-self-join, so consecutive
+    order is structural, not a sort contract, and the pairing is a
+    narrow map.
+
+    Scale shape: the whole feature path is narrow (array ops +
+    explode); weights are a 256-entry arithmetic expression (no
+    table at all); scoring is one hash agg per doc + one per
+    source."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = d.select("doc_id", "source", arr.alias("arr"))
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("arr"), 1, F.size("arr") - 1),
+                F.slice(F.col("arr"), 2, F.size("arr") - 1),
+                lambda x, y: F.concat(x, F.lit("_"), y),
+            )
+        ).alias("bgw"),
+    ).select("doc_id", "source", _md5_bucket_col(F.col("bgw")).alias("b"))
+    wt = bg.select(
+        "doc_id",
+        "source",
+        F.round(((F.col("b") * _FT_SEED) % 201).cast("double") / 100.0 - 1.0, 6).alias(
+            "w"
+        ),
+    )
+    ds = wt.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("score"),
+    )
+    return (
+        ds.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("bigint")).alias("n_pos"),
+            dsum("score").alias("sum_score"),
+        )
+        .orderBy("source")
+    )

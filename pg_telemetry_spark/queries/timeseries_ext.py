@@ -1046,3 +1046,69 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("residual").desc(), "h")
         .limit(10)
     )
+
+
+@query("ts_kalman_smooth", group="timeseries", tier="C")
+def ts_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D random-walk Kalman filter per event-type hourly series
+    (process noise Q=0.01, observation noise R=1.0, state initialized
+    at the first observation with unit variance) — the standard
+    online denoiser for counter series; reports per series the final
+    state estimate, its variance, and the mean absolute innovation
+    (the filter's own surprise measure, a drift signal).
+
+    Scale shape: the hourly rollup is one hash agg; the filter
+    recursion is inherently sequential PER SERIES so it runs inside
+    applyInPandas — one shuffle on the series key, each series a
+    numpy fold in its own task; thousands of series smooth in
+    parallel and no series crosses a partition (same shape as
+    ts_holt_forecast).  Tier C: golden replays the recursion in local
+    python (tests/test_units_timeseries_ext.py)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+
+    def kalman(key, pdf):
+        pdf = pdf.sort_values("h")
+        v = pdf["v"].to_numpy(dtype="float64")
+        q, r = 0.01, 1.0
+        x, p = float(v[0]), 1.0
+        abs_innov = 0.0
+        for z in v[1:]:
+            p += q
+            kgain = p / (p + r)
+            innov = float(z) - x
+            x += kgain * innov
+            p *= 1.0 - kgain
+            abs_innov += abs(innov)
+        n = len(v)
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_hours": [n],
+                "state": [round(x, 6)],
+                "variance": [round(p, 6)],
+                "mean_abs_innovation": [
+                    round(abs_innov / (n - 1), 6) if n > 1 else 0.0
+                ],
+            }
+        )
+
+    out_schema = (
+        "event_type string, n_hours long, state double, variance double, "
+        "mean_abs_innovation double"
+    )
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(kalman, schema=out_schema)
+        .orderBy("event_type")
+    )

@@ -385,14 +385,21 @@ def wl_q13_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="workload",
     oracle="""
 WITH revenue AS (
+  -- exact DECIMAL sum: DuckDB re-evaluates an un-materialized CTE per
+  -- reference with multi-threaded double summation, so a float max
+  -- from one evaluation can equal NOTHING in the other (caught by the
+  -- round-9 sf1 sweep: 0 oracle rows).  Decimal sums are
+  -- order-independent, so every evaluation is bit-identical.
   SELECT l_suppkey AS supplier_no,
-         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
 FROM supplier s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -405,23 +412,34 @@ def wl_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the per-supplier revenue frame, broadcast-joined
     back — the revenue intermediate is computed once and is
     |suppliers|-sized, so the "recompute the view twice" trap in
-    naive translations never materializes.  The equality filter
-    compares unrounded engine-local sums (each engine is
-    self-consistent), rounding only for output."""
+    naive translations never materializes.  The max-equality filter
+    compares EXACT DECIMAL sums (detsum discipline): with doubles,
+    any engine that re-evaluates the revenue relation (DuckDB
+    re-runs un-materialized CTEs per reference, Spark re-plans under
+    AQE/retry) can produce a max that equals nothing — caught at sf1
+    by the round-9 decade sweep."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     s = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 

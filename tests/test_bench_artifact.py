@@ -44,10 +44,12 @@ def test_compact_line_fits_after_shedding_at_realistic_widths():
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1900
     parsed = json.loads(line)
-    # The 1900-char window holds ~79 two-digit entries; as HEADLINE
-    # grows the shed count grows with it, so pin a proportional floor
-    # (≥70% visible) instead of a fixed headcount.
-    assert len(parsed["queries"]) >= int(len(bench.HEADLINE) * 0.70)
+    # The 1900-char window holds ~80 two-digit entries no matter how
+    # large HEADLINE grows (the full map always lands in
+    # BENCH_FULL.json), so the invariant is the window's CAPACITY
+    # floor — the slowest ~64+ queries stay individually visible —
+    # not a proportion of an ever-growing headline list.
+    assert len(parsed["queries"]) >= min(len(bench.HEADLINE), 64)
 
 
 def test_compact_line_degrades_by_shedding_fastest_queries():

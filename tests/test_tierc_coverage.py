@@ -19,6 +19,18 @@ from pg_telemetry_spark.registry import all_queries
 #: named after the query; the rest pin the same semantics through the
 #: underlying operator API.
 COVERING_TESTS = {
+    "wl_kcore": (
+        "tests.test_units_graph",
+        "test_kcore_matches_local_peel",
+    ),
+    "wl_bfs_hops": (
+        "tests.test_units_graph",
+        "test_bfs_hops_matches_local_bfs",
+    ),
+    "ts_kalman_smooth": (
+        "tests.test_units_timeseries_ext",
+        "test_kalman_matches_local_recursion",
+    ),
     "ts_dtw_pairs": (
         "tests.test_units_stats",
         "test_dtw_pairs_match_local_replay",

@@ -117,3 +117,72 @@ def test_label_propagation_matches_local_replay(spark, sf_dir):
         for r in wl_label_propagation(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_kcore_matches_local_peel(spark, sf_dir):
+    """Golden for wl_kcore (tier C): replay the degree-peel to a
+    fixpoint in local python and require identical core summary."""
+    from collections import defaultdict
+
+    from pg_telemetry_spark.queries.graph_ops import wl_kcore
+
+    edges = {
+        (r["u"], r["v"])
+        for r in copurchase_edges(_month_items(spark, sf_dir)).collect()
+    }
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 3:
+                for n in adj.pop(v):
+                    adj[n].discard(v)
+                changed = True
+    n_edges = sum(len(s) for s in adj.values()) // 2
+    row = wl_kcore(spark, sf_dir).collect()[0]
+    assert row["n_core_vertices"] == len(adj)
+    assert row["n_core_edges"] == n_edges
+    assert row["max_degree"] == (max(len(s) for s in adj.values()) if adj else None)
+    assert row["min_part"] == (min(adj) if adj else None)
+
+
+def test_bfs_hops_matches_local_bfs(spark, sf_dir):
+    """Golden for wl_bfs_hops (tier C): local BFS from the same
+    hub source (max degree, min id tie-break) must give identical
+    per-hop census."""
+    from collections import defaultdict, deque
+
+    from pg_telemetry_spark.queries.graph_ops import wl_bfs_hops
+
+    edges = [
+        (r["u"], r["v"])
+        for r in copurchase_edges(_month_items(spark, sf_dir)).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    src = max(adj, key=lambda v: (len(adj[v]), -v))
+    hop = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if hop[u] >= 10:
+            continue
+        for n in sorted(adj[u]):
+            if n not in hop:
+                hop[n] = hop[u] + 1
+                dq.append(n)
+    expect = {}
+    for v, h in hop.items():
+        n, m = expect.get(h, (0, None))
+        expect[h] = (n + 1, v if m is None else min(m, v))
+    got = {
+        r["hop"]: (r["n_vertices"], r["min_part"])
+        for r in wl_bfs_hops(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -94,3 +94,49 @@ def test_holt_forecast_matches_local_recursion(spark, sf_dir):
         assert got[et]["level"] == round(level, 6), et
         assert got[et]["trend"] == round(trend, 6), et
         assert got[et]["forecast_24h"] == round(level + 24 * trend, 6), et
+
+
+def test_kalman_matches_local_recursion(spark, sf_dir):
+    """Golden for ts_kalman_smooth (tier C): replay the Q=0.01/R=1
+    random-walk filter locally over the same hourly series and
+    require exact agreement (same float ops, same order)."""
+    import pyspark.sql.functions as F
+
+    from pg_telemetry_spark.queries.timeseries_ext import ts_kalman_smooth
+    from pg_telemetry_spark.tables import load_table
+
+    got = {r["event_type"]: r for r in ts_kalman_smooth(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["v"]))
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        v = [x for _, x in sorted(pts)]
+        q, r_ = 0.01, 1.0
+        x, p = v[0], 1.0
+        acc = 0.0
+        for z in v[1:]:
+            p += q
+            kg = p / (p + r_)
+            innov = z - x
+            x += kg * innov
+            p *= 1.0 - kg
+            acc += abs(innov)
+        g = got[et]
+        assert g["n_hours"] == len(v)
+        assert g["state"] == round(x, 6)
+        assert g["variance"] == round(p, 6)
+        expect_mai = round(acc / (len(v) - 1), 6) if len(v) > 1 else 0.0
+        assert g["mean_abs_innovation"] == expect_mai
