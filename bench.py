@@ -187,6 +187,10 @@ HEADLINE = [
     "wl_kcore",
     "wl_bfs_hops",
     "ts_kalman_smooth",
+    # round-9 batch 7: privacy census, recommendations, MMR, streaming
+    "dq_k_anonymity",
+    "wl_recommend_item_cf",
+    "llm_mmr_diversify",
 ]
 
 

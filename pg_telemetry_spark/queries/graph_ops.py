@@ -29,7 +29,7 @@ Scale shapes, stated up front:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
@@ -353,4 +353,88 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited.groupBy("hop")
         .agg(F.count("*").alias("n_vertices"), F.min("u").alias("min_part"))
         .orderBy("hop")
+    )
+
+
+@query(
+    "wl_recommend_item_cf",
+    group="graph",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{_MONTH_LO}'
+    AND o.o_orderdate <  TIMESTAMP '{_MONTH_HI}'
+), item_n AS (
+  SELECT l_partkey, count(*) AS n FROM li GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c_uv
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), sym AS (
+  SELECT u, v, c_uv FROM pair
+  UNION ALL
+  SELECT v AS u, u AS v, c_uv FROM pair
+), scored AS (
+  SELECT s.u, s.v,
+         round(CAST(s.c_uv AS DOUBLE) / sqrt(nu.n * nv.n), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.u
+           ORDER BY round(CAST(s.c_uv AS DOUBLE) / sqrt(nu.n * nv.n), 6) DESC,
+                    s.v ASC) AS rnk
+  FROM sym s
+  JOIN item_n nu ON s.u = nu.l_partkey
+  JOIN item_n nv ON s.v = nv.l_partkey
+)
+SELECT u AS item, v AS neighbor, cosine, rnk
+FROM scored WHERE rnk <= 5
+ORDER BY item, rnk
+""",
+)
+def wl_recommend_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering on the one-month co-purchase
+    graph (Sarwar et al. 2001): cosine similarity over order-level
+    co-occurrence — cos(u,v) = |orders with both| /
+    sqrt(|orders u| * |orders v|) — then the top-5 neighbor list per
+    item, the precomputed table an item-page recommender serves.
+
+    Scale shape: the pair count is the same bounded per-order
+    fan-out as the co-purchase edge builder (<= C(lines,2) per
+    order, one shuffle on the order key); item totals attach by two
+    broadcast joins (item dimension); the per-item top-5 is a
+    partitioned window on the item key — no global sort, no
+    quadratic term in the catalog."""
+    items = _month_items(spark, sf_dir)
+    item_n = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n")
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c_uv"))
+    )
+    sym = pair.unionByName(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"), "c_uv")
+    )
+    scored = (
+        sym.join(F.broadcast(item_n.select(F.col("p").alias("u"), F.col("n").alias("nu"))), "u")
+        .join(F.broadcast(item_n.select(F.col("p").alias("v"), F.col("n").alias("nv"))), "v")
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("c_uv").cast("double") / F.sqrt(F.col("nu") * F.col("nv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cosine").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(F.col("u").alias("item"), F.col("v").alias("neighbor"), "cosine", "rnk")
+        .orderBy("item", "rnk")
     )

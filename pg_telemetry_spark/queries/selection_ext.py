@@ -269,3 +269,95 @@ def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MMR_K = 20
+_MMR_SIGS = 16
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_minhash_cols():
+    """16 md5-derived minhash components over the exploded word set —
+    engine-portable hashing (hex prefix to int), reproducible in the
+    golden's local python replay."""
+    return [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("w"))), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"mh{i}")
+        for i in range(_MMR_SIGS)
+    ]
+
+
+@query("llm_mmr_diversify", group="llm_ext", tier="C")
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) of a diverse 20-doc subset: greedily pick the document
+    maximizing ``0.7 * relevance - 0.3 * max-sim-to-selected``, where
+    relevance is vocabulary size normalized by the corpus max and
+    similarity is the matching fraction of 16 md5-minhash components
+    (a Jaccard estimate) — the diversity-aware sampler used to cap
+    near-redundant training batches.
+
+    Scale shape: signatures are ONE groupBy over exploded words (16
+    min-aggregates, map-side combinable); each greedy round scores
+    all remaining docs against the <=20 SELECTED signatures carried
+    in a broadcast-sized literal array and collects exactly ONE
+    argmax row (k=20 bounded 1-row collects — the same bounded
+    driver-scalar inventory class as the BPE merge loop, SCALE.md).
+    Tier C: the greedy trajectory is order-sequential by definition;
+    golden replays it in local python (tests/test_units_selection.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    sigs = words.groupBy("doc_id").agg(
+        F.countDistinct("w").alias("vocab"), *_mmr_minhash_cols()
+    )
+    sigs = sigs.select(
+        "doc_id",
+        "vocab",
+        F.array(*[F.col(f"mh{i}") for i in range(_MMR_SIGS)]).alias("sig"),
+    ).persist()
+    max_vocab = sigs.agg(F.max("vocab")).collect()[0][0]  # 1-row scalar
+
+    picked: list[tuple] = []  # (rank, doc_id, score, sig)
+    remaining = sigs
+    for rank in range(1, _MMR_K + 1):
+        rel = F.col("vocab").cast("double") / float(max_vocab)
+        if picked:
+            sel = F.array(
+                *[
+                    F.array(*[F.lit(int(x)) for x in sig])
+                    for _, _, _, sig in picked
+                ]
+            )
+            sim = F.array_max(
+                F.transform(
+                    sel,
+                    lambda s: F.aggregate(
+                        F.zip_with(
+                            F.col("sig"), s, lambda a, b: (a == b).cast("int")
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).cast("double")
+                    / float(_MMR_SIGS),
+                )
+            )
+        else:
+            sim = F.lit(0.0)
+        scored = remaining.select(
+            "doc_id",
+            "sig",
+            F.round(_MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * sim, 9).alias("score"),
+        )
+        best = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(1).collect()[0]
+        picked.append((rank, best["doc_id"], float(best["score"]), list(best["sig"])))
+        remaining = remaining.filter(F.col("doc_id") != best["doc_id"])
+    sigs.unpersist()
+    return spark.createDataFrame(
+        [(r, i, s) for r, i, s, _ in picked],
+        "rank int, doc_id bigint, score double",
+    )

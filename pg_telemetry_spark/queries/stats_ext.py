@@ -777,3 +777,58 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a string, type_b string, n_a int, n_b int, dtw_dist double"
         ),
     )
+
+
+@query(
+    "dq_k_anonymity",
+    group="dq",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS bal_decile
+  FROM customer
+), grp AS (
+  SELECT c_nationkey, c_mktsegment, bal_decile, count(*) AS k
+  FROM qi GROUP BY c_nationkey, c_mktsegment, bal_decile
+)
+SELECT min(k) AS min_k,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       round(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+             / sum(k), 6) AS pct_risky,
+       CAST(sum(k) AS BIGINT) AS n_rows
+FROM grp
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the customer quasi-identifier tuple
+    (nation, market segment, account-balance decile): the minimum
+    equivalence-class size (the dataset's k), class count, and the
+    row mass in classes below k=5 — the rows a release would have to
+    suppress or generalize (Sweeney 2002).  The decile is an
+    ntile(10) over a TOTAL order (balance + custkey) so class
+    boundaries are engine-identical.
+
+    Scale shape: one global ntile window (dimension-sized input
+    here; at fact scale the decile boundaries come from a quantile
+    sketch and the window disappears), one hash agg on the QI tuple,
+    one scalar rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+        .alias("bal_decile"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_decile").agg(
+        F.count("*").alias("k")
+    )
+    risky = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0)))
+    return grp.agg(
+        F.min("k").alias("min_k"),
+        F.count("*").alias("n_groups"),
+        risky.cast("bigint").alias("n_risky_rows"),
+        F.round(risky.cast("double") / F.sum("k"), 6).alias("pct_risky"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )

@@ -403,3 +403,116 @@ def str_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, *v) for k, v in sorted(state.items())],
         "bucket timestamp, n_events bigint, sum_value double",
     )
+
+
+@query("str_topk_windowed", group="streaming", tier="C")
+def str_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k maintained across micro-batches: hourly
+    (window, event_type) counts in update mode over two daily
+    batches; the driver-side state map absorbs each update and the
+    final top-3 types per hour is computed from the materialized
+    state — the leaderboard pattern (update-mode agg + small final
+    rank) a dashboard keeps live.
+
+    The streaming agg state is (hours x types)-sized — bounded by the
+    key domain, not the input; watermark expiry would bound it in a
+    long-running job."""
+    events = _stream_events(spark, sf_dir)
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    batches = _day_batches(events, ["2024-01-01", "2024-01-02"])
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("bucket"), "event_type", "n")
+        )
+
+    state: dict = {}
+    for b in batches:
+        h.add_batch(b)
+        for captured in h.run_available(agg(h.stream()), "topk", output_mode="update"):
+            for r in captured:
+                state[(r.bucket, r.event_type)] = r.n
+    final = spark.createDataFrame(
+        [(k[0], k[1], v) for k, v in sorted(state.items())],
+        "bucket timestamp, event_type string, n bigint",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("bucket", "rnk")
+    )
+
+
+@query("str_anomaly_baseline", group="streaming", tier="C")
+def str_anomaly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-baseline anomaly alerting: a static per-(event_type,
+    hour-of-day) mean hourly count baseline — built from the HISTORY
+    partition of the table (days >= Jan 4, disjoint from the streamed
+    days) — broadcast-joins each micro-batch's hourly counts; rows
+    where the live count exceeds 1.5x baseline emit as alerts.  The
+    static side is computed once and reused across batches (the
+    stream-static contract), which is exactly how a production
+    detector pins its reference week.
+
+    Returns the alert census per event_type: n_alerts, max ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.filter(F.col("ts") >= F.lit("2024-01-04").cast("timestamp_ntz"))
+    baseline = (
+        hist.groupBy(
+            "event_type",
+            F.hour("ts").alias("hod"),
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(
+                F.sum(F.col("n").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("base")
+        )
+    )
+    events = _stream_events(spark, sf_dir)
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    batches = _day_batches(events, ["2024-01-01", "2024-01-02"])
+
+    def agg(stream: DataFrame) -> DataFrame:
+        hourly = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("bucket"),
+                "event_type",
+                F.hour(F.col("window.start")).alias("hod"),
+                "n",
+            )
+        )
+        return hourly.join(F.broadcast(baseline), ["event_type", "hod"]).filter(
+            F.col("n") > 1.5 * F.col("base")
+        )
+
+    alerts: dict = {}
+    for b in batches:
+        h.add_batch(b)
+        for captured in h.run_available(
+            agg(h.stream()), "anom", output_mode="update"
+        ):
+            for r in captured:
+                alerts[(r.bucket, r.event_type)] = round(r.n / r.base, 6)
+    rows = [
+        (et, b, ratio) for (b, et), ratio in sorted(alerts.items(), key=lambda kv: (kv[0][1], kv[0][0]))
+    ]
+    out = spark.createDataFrame(
+        rows or [("__none__", None, 0.0)],
+        "event_type string, bucket timestamp, ratio double",
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_alerts"), F.round(F.max("ratio"), 6).alias("max_ratio")
+    ).orderBy("event_type")

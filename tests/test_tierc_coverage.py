@@ -116,6 +116,18 @@ COVERING_TESTS = {
         "test_stream_stream_join_matches_batch_join",
     ),
     "str_watermark": ("tests.test_units_streaming", "test_watermark_drops_late_rows"),
+    "str_topk_windowed": (
+        "tests.test_units_streaming",
+        "test_topk_windowed_final_state_matches_batch_topk",
+    ),
+    "str_anomaly_baseline": (
+        "tests.test_units_streaming",
+        "test_anomaly_baseline_matches_batch_rule",
+    ),
+    "llm_mmr_diversify": (
+        "tests.test_units_selection",
+        "test_mmr_matches_local_greedy",
+    ),
 }
 
 

@@ -304,3 +304,86 @@ def test_rocksdb_state_store_engages(spark):
     assert not any(f.endswith(".delta") for f in files), (
         "HDFS-provider .delta files present — RocksDB conf did not engage"
     )
+
+
+def test_topk_windowed_final_state_matches_batch_topk(spark, sf_dir):
+    """str_topk_windowed's update-mode state, after both batches, must
+    equal the batch top-3 per hour over the same two days."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from pg_telemetry_spark.queries.streaming_ops import (
+        _stream_events,
+        str_topk_windowed,
+    )
+
+    got = [
+        (r["bucket"], r["event_type"], r["n"], r["rnk"])
+        for r in str_topk_windowed(spark, sf_dir).collect()
+    ]
+    ev = _stream_events(spark, sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    expect = [
+        (r["bucket"], r["event_type"], r["n"], r["rnk"])
+        for r in hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("bucket", "rnk")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_anomaly_baseline_matches_batch_rule(spark, sf_dir):
+    """str_anomaly_baseline's alert census must equal the batch
+    evaluation of the same 1.5x-over-baseline rule on the same days."""
+    import pyspark.sql.functions as F
+
+    from pg_telemetry_spark.queries.streaming_ops import (
+        _stream_events,
+        str_anomaly_baseline,
+    )
+    from pg_telemetry_spark.tables import load_table
+
+    got = {
+        r["event_type"]: (r["n_alerts"], r["max_ratio"])
+        for r in str_anomaly_baseline(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.filter(F.col("ts") >= F.lit("2024-01-04").cast("timestamp_ntz"))
+    baseline = (
+        hist.groupBy(
+            "event_type", F.hour("ts").alias("hod"), F.date_trunc("day", "ts").alias("d")
+        )
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(
+                F.sum(F.col("n").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("base")
+        )
+    )
+    live = _stream_events(spark, sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    hourly = live.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    alerts = (
+        hourly.withColumn("hod", F.hour("bucket"))
+        .join(baseline, ["event_type", "hod"])
+        .filter(F.col("n") > 1.5 * F.col("base"))
+        .select("event_type", F.round(F.col("n") / F.col("base"), 6).alias("ratio"))
+    )
+    expect = {
+        r["event_type"]: (r["n_alerts"], r["max_ratio"])
+        for r in alerts.groupBy("event_type")
+        .agg(F.count("*").alias("n_alerts"), F.round(F.max("ratio"), 6).alias("max_ratio"))
+        .collect()
+    }
+    assert got == expect
