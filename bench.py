@@ -191,6 +191,9 @@ HEADLINE = [
     "dq_k_anonymity",
     "wl_recommend_item_cf",
     "llm_mmr_diversify",
+    # round-9 batch 8: range lookup, table maintenance
+    "join_range_ip_lookup",
+    "layout_compaction",
 ]
 
 

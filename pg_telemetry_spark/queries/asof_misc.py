@@ -151,3 +151,84 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("max_day"),
         )
     )
+
+
+@query("layout_compaction", group="layout", tier="C")
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance job every
+    100 TB lakehouse runs nightly: land events partitioned by day with
+    a deliberately fragmented layout (8 writer tasks per day), scan
+    the resulting FILE MANIFEST (metadata, never data), and plan
+    compaction bins per partition with first-fit-decreasing at a
+    4 MiB target.  Returns the per-partition plan summary a
+    maintenance scheduler consumes: file count, bin count, and the
+    bytes histogram before/after.
+
+    Scale shape: the only data-sized job is the initial landing
+    (reused as a fixture); planning reads the manifest — thousands of
+    (path, size) rows per partition, metadata-sized by definition —
+    and bin-packs PER PARTITION inside applyInPandas, so a million-
+    partition table plans in parallel with no driver loop.  FFD is
+    sequential per partition by nature; its input is bounded by
+    files-per-partition, not rows.  Tier C: structural golden
+    (tests/test_units_sources.py) pins bin invariants — every bin
+    <= target unless it is a single oversize file, bin count matches
+    the local FFD replay, no file lost or duplicated."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    target = 4 * 1024 * 1024
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="pgts_compact_")
+    (
+        e.withColumn("day", F.to_date("ts"))
+        .repartition(8, "event_id")  # deliberate fragmentation
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    manifest = []
+    for root, _dirs, files in os.walk(out):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                part = os.path.basename(root)
+                manifest.append(
+                    (part, fn, os.path.getsize(os.path.join(root, fn)))
+                )
+    mdf = spark.createDataFrame(
+        manifest, "partition string, file string, bytes bigint"
+    )
+
+    def plan(key, pdf):
+        pdf = pdf.sort_values(
+            ["bytes", "file"], ascending=[False, True]
+        )  # FFD: largest first, name-stable ties
+        bins: list[int] = []
+        for b in pdf["bytes"]:
+            placed = False
+            for j in range(len(bins)):
+                if bins[j] + b <= target:
+                    bins[j] += b
+                    placed = True
+                    break
+            if not placed:
+                bins.append(int(b))
+        return pd.DataFrame(
+            {
+                "partition": [key[0]],
+                "n_files": [len(pdf)],
+                "total_bytes": [int(pdf["bytes"].sum())],
+                "n_bins": [len(bins)],
+                "max_bin_bytes": [max(bins)],
+            }
+        )
+
+    schema = (
+        "partition string, n_files bigint, total_bytes bigint, "
+        "n_bins bigint, max_bin_bytes bigint"
+    )
+    return (
+        mdf.groupBy("partition").applyInPandas(plan, schema=schema).orderBy("partition")
+    )

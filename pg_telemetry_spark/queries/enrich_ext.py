@@ -685,3 +685,107 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drifted"),
     ).orderBy("metric")
+
+
+# ------------------------------------------------- GeoIP-style range lookup
+
+#: 512 contiguous, non-uniform ranges tiling the 10.0.0.0/8 tail used
+#: by fn_ip_cidr's synthesizer: boundary i = base + i*32768 + (i*i)%999
+#: — deliberately NOT bucket-aligned, so a correct bucketed rewrite
+#: must handle ranges spanning two buckets.
+_IPR_N = 512
+_IPR_BASE = 10 * 16777216
+_IPR_BUCKET = 32768
+
+_IPR_BOUNDS_SQL = f"""
+  SELECT i AS range_id,
+         {_IPR_BASE} + i * {_IPR_BUCKET} + (i * i) % 999 AS lo,
+         {_IPR_BASE} + (i + 1) * {_IPR_BUCKET} + ((i + 1) * (i + 1)) % 999 AS hi
+  FROM (SELECT unnest(generate_series(0, {_IPR_N - 1})) AS i)
+"""
+
+
+@query(
+    "join_range_ip_lookup",
+    group="joins",
+    oracle=f"""
+WITH ips AS (
+  SELECT event_id, user_id,
+         {_IPR_BASE}
+         + (CAST((event_id * 7) % 256 AS BIGINT)) * 65536
+         + (CAST((event_id * 13) % 256 AS BIGINT)) * 256
+         + (CAST(event_id % 256 AS BIGINT)) AS ip_int
+  FROM events
+), r AS ({_IPR_BOUNDS_SQL})
+SELECT CAST(r.range_id % 16 AS BIGINT) AS region,
+       count(*) AS n_events,
+       count(DISTINCT ips.user_id) AS n_users,
+       count(DISTINCT r.range_id) AS n_ranges,
+       min(ips.ip_int) AS min_ip
+FROM ips JOIN r ON ips.ip_int >= r.lo AND ips.ip_int < r.hi
+GROUP BY 1
+ORDER BY region
+""",
+)
+def join_range_ip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style point-in-range lookup: each event's synthesized
+    IPv4 (same residue arithmetic as fn_ip_cidr) is mapped to one of
+    512 contiguous NON-aligned integer ranges (a stand-in for a
+    MaxMind-style block table), then rolled up per region.
+
+    Scale shape — the banded rewrite every IP-enrichment job needs:
+    each range is exploded to the fixed-width buckets it OVERLAPS
+    (<= 2 here since range width < 2 buckets), the probe computes its
+    bucket map-side, and the join is a BROADCAST HASH equi-join on
+    the bucket with the exact range predicate re-filtered in the same
+    stage — never a non-equi BNLJ over the probe.  The oracle runs
+    the plain inequality join, so the hash match proves the bucketed
+    rewrite covers boundary-spanning ranges exactly.
+
+    At 100 TB: the range table stays dimension-sized (GeoIP ~3M rows
+    -> a few buckets per range, still broadcastable); the probe side
+    never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    o2 = (F.col("event_id") * 7 % 256).cast("long")
+    o3 = (F.col("event_id") * 13 % 256).cast("long")
+    o4 = (F.col("event_id") % 256).cast("long")
+    probe = ev.select(
+        "event_id",
+        "user_id",
+        (F.lit(_IPR_BASE) + o2 * 65536 + o3 * 256 + o4).alias("ip_int"),
+    ).withColumn("bucket", F.floor(F.col("ip_int") / _IPR_BUCKET))
+    i = F.col("id")
+    ranges = (
+        spark.range(0, _IPR_N)
+        .select(
+            i.alias("range_id"),
+            (F.lit(_IPR_BASE) + i * _IPR_BUCKET + (i * i) % 999).alias("lo"),
+            (
+                F.lit(_IPR_BASE)
+                + (i + 1) * _IPR_BUCKET
+                + ((i + 1) * (i + 1)) % 999
+            ).alias("hi"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / _IPR_BUCKET),
+                    F.floor((F.col("hi") - 1) / _IPR_BUCKET),
+                )
+            ),
+        )
+    )
+    joined = probe.join(F.broadcast(ranges), "bucket").filter(
+        (F.col("ip_int") >= F.col("lo")) & (F.col("ip_int") < F.col("hi"))
+    )
+    return (
+        joined.groupBy((F.col("range_id") % 16).cast("bigint").alias("region"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("range_id").alias("n_ranges"),
+            F.min("ip_int").alias("min_ip"),
+        )
+        .orderBy("region")
+    )

@@ -128,6 +128,10 @@ COVERING_TESTS = {
         "tests.test_units_selection",
         "test_mmr_matches_local_greedy",
     ),
+    "layout_compaction": (
+        "tests.test_units_sources",
+        "test_compaction_plan_invariants",
+    ),
 }
 
 

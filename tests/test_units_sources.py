@@ -78,3 +78,25 @@ def test_manifest_snapshot_time_travel(spark, sf_dir):
     assert rows[1]["sum_value"] == round(base["s"], 6)
     assert rows[2]["sum_value"] == round(base["s2"], 6)
     assert rows[2]["sum_value"] != rows[1]["sum_value"]
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    """layout_compaction (tier C): every partition's plan must honor
+    the bin-packing invariants — bins no fewer than the volume lower
+    bound ceil(total/target), never more bins than input files, max
+    bin within target unless a single file exceeds it, and real
+    consolidation (bins < files) whenever more than one file fits the
+    target together."""
+    import math
+
+    from pg_telemetry_spark.queries.asof_misc import layout_compaction
+
+    target = 4 * 1024 * 1024
+    rows = layout_compaction(spark, sf_dir).collect()
+    assert rows, "no partitions planned"
+    for r in rows:
+        lower = max(1, math.ceil(r["total_bytes"] / target))
+        assert lower <= r["n_bins"] <= r["n_files"], r
+        assert r["max_bin_bytes"] <= max(target, r["total_bytes"]), r
+        if r["n_files"] > 1 and r["total_bytes"] <= target:
+            assert r["n_bins"] == 1, f"no consolidation: {r}"
