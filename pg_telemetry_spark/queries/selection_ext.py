@@ -199,19 +199,23 @@ WITH toks AS (
         FROM toks)
 ), wt AS (
   SELECT b.doc_id, b.source,
-         round(CAST((b.b * {_FT_SEED}) % 201 AS DOUBLE) / 100.0 - 1.0, 6) AS w
+         (b.b * {_FT_SEED}) % 201 - 100 AS w_c
   FROM bg b
 ), ds AS (
   SELECT doc_id, source,
-         count(*) AS n_bigrams,
-         round({DSUM_SQL.format(x="w")} / count(*), 6) AS score
+         count(*) AS n,
+         CAST(sum(w_c) AS BIGINT) AS s_c
   FROM wt GROUP BY doc_id, source
+), scored AS (
+  SELECT source, s_c,
+         (s_c * 10000 - (((s_c * 10000) % n) + n) % n) / n AS mean_micro
+  FROM ds
 )
 SELECT source,
        count(*) AS n_docs,
-       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       {DSUM_SQL.format(x="score")} AS sum_score
-FROM ds GROUP BY source ORDER BY source
+       CAST(sum(CASE WHEN s_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(mean_micro) AS BIGINT) AS sum_mean_micro
+FROM scored GROUP BY source ORDER BY source
 """,
 )
 def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +225,15 @@ def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic weight per bucket (stand-in for the trained
     embedding — no model ships in this container), score a document
     as the mean bucket weight, classify positive above 0.  Reported
-    per source: document count, positives, decimal-exact score sum.
+    per source: document count, positives, and the sum of per-doc
+    mean scores in exact integer MICRO-units.
+
+    Determinism note: the mean is integer arithmetic end to end —
+    weights are centi-unit integers, the per-doc mean is a floor
+    division computed by the pmod identity (a - pmod(a, n)) / n,
+    which both engines evaluate exactly (a plain round(sum/count, 6)
+    double mean diverged by 1 ulp at sf0.1: ~5k boundary chances per
+    source — caught by the round-9 decade sweep).
 
     Bigram pairing stays INSIDE the token array on both engines
     (zip_with over two shifted slices / list_transform over
@@ -250,22 +262,21 @@ def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = bg.select(
         "doc_id",
         "source",
-        F.round(((F.col("b") * _FT_SEED) % 201).cast("double") / 100.0 - 1.0, 6).alias(
-            "w"
-        ),
+        ((F.col("b") * _FT_SEED) % 201 - 100).alias("w_c"),
     )
     ds = wt.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(
-            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
-        ).alias("score"),
+        F.count("*").alias("n"),
+        F.sum("w_c").cast("bigint").alias("s_c"),
     )
+    num = F.col("s_c") * 10000
+    mean_micro = (num - F.pmod(num, F.col("n"))) / F.col("n")
+    scored = ds.select("source", "s_c", mean_micro.cast("bigint").alias("mean_micro"))
     return (
-        ds.groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum((F.col("score") > 0).cast("bigint")).alias("n_pos"),
-            dsum("score").alias("sum_score"),
+            F.sum((F.col("s_c") > 0).cast("bigint")).alias("n_pos"),
+            F.sum("mean_micro").cast("bigint").alias("sum_mean_micro"),
         )
         .orderBy("source")
     )

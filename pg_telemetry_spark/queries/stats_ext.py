@@ -553,8 +553,10 @@ SELECT e.event_type,
        max(e.ts) AS latest_ts,
        date_diff('microsecond', max(e.ts), min(g.gmax)) // 60000000
          AS staleness_min,
-       sum(CASE WHEN e.ts >= min_g.h24 THEN 1 ELSE 0 END) AS n_last_24h,
-       sum(CASE WHEN e.ts >= min_g.d7 THEN 1 ELSE 0 END) AS n_last_7d,
+       CAST(sum(CASE WHEN e.ts >= min_g.h24 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_last_24h,
+       CAST(sum(CASE WHEN e.ts >= min_g.d7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_last_7d,
        count(*) AS n_total
 FROM {EVENTS_V} e
 CROSS JOIN g
