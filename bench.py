@@ -194,6 +194,13 @@ HEADLINE = [
     # round-9 batch 8: range lookup, table maintenance
     "join_range_ip_lookup",
     "layout_compaction",
+    # round-9 batch 9: interval algebra, funnel windows, tokenizer fit,
+    # LSH planning, PQ
+    "ts_interval_union",
+    "wl_window_funnel",
+    "llm_oov_rate",
+    "llm_band_tuning",
+    "llm_ann_pq",
 ]
 
 

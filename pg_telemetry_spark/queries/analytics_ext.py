@@ -1631,3 +1631,96 @@ def fn_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@query(
+    "wl_window_funnel",
+    group="workload",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM {EVENTS_V} e
+), v AS (SELECT user_id, t FROM ev WHERE event_type = 'view'),
+c AS (SELECT user_id, t FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id, t FROM ev WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT v.user_id, v.t AS t1, min(c.t) AS t2
+  FROM v LEFT JOIN c
+    ON c.user_id = v.user_id AND c.t > v.t AND c.t <= v.t + 3600000000
+  GROUP BY v.user_id, v.t
+), s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2, min(p.t) AS t3
+  FROM s2 LEFT JOIN p
+    ON p.user_id = s2.user_id AND s2.t2 IS NOT NULL
+   AND p.t > s2.t2 AND p.t <= s2.t1 + 3600000000
+  GROUP BY s2.user_id, s2.t1, s2.t2
+), depth AS (
+  SELECT user_id,
+         max(CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  ELSE 1 END) AS depth
+  FROM s3 GROUP BY user_id
+)
+SELECT depth, count(*) AS n_users FROM depth GROUP BY depth ORDER BY depth
+""",
+)
+def wl_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-``windowFunnel``-style strict-order funnel: per
+    user, the deepest view → click → purchase chain where each next
+    stage lands strictly after the previous one and the WHOLE chain
+    fits inside 1 hour of the anchoring view event (``wl_funnel`` is
+    the unwindowed first-timestamp variant; this is the
+    time-boxed per-anchor one).
+
+    Scale shape: two left joins that are hash-equi-joins on user_id
+    with residual range predicates — never a time-domain explode or a
+    BNLJ; per-user event counts bound the fan-out.  Timestamps are
+    epoch MICROSECOND integers on both engines, so chain comparisons
+    are exact."""
+    W_US = 3_600_000_000
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC so the
+        # cast to instant is lossless and engine-identical
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("t").alias("t1"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("t").alias("ct")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("t").alias("pt")
+    )
+    s2 = (
+        v.join(
+            c,
+            (F.col("c_uid") == F.col("user_id"))
+            & (F.col("ct") > F.col("t1"))
+            & (F.col("ct") <= F.col("t1") + F.lit(W_US)),
+            "left",
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ct").alias("t2"))
+    )
+    s3 = (
+        s2.join(
+            p,
+            (F.col("p_uid") == F.col("user_id"))
+            & F.col("t2").isNotNull()
+            & (F.col("pt") > F.col("t2"))
+            & (F.col("pt") <= F.col("t1") + F.lit(W_US)),
+            "left",
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("pt").alias("t3"))
+    )
+    depth = s3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+        ).alias("depth")
+    )
+    return (
+        depth.groupBy("depth").agg(F.count("*").alias("n_users")).orderBy("depth")
+    )

@@ -801,3 +801,224 @@ def llm_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (z > 2.0).alias("is_outlier"),
     )
+
+
+# LSH (bands x rows) planner grid — every config multiplies to the
+# 64-permutation signature used by llm_dedup_near.
+_BAND_GRID = [(4, 16), (8, 8), (16, 4), (32, 2)]
+
+
+def _pow_sq_sql(expr: str, n: int) -> str:
+    """expr**n as an explicit squaring chain (n a power of two) —
+    both engines evaluate the SAME IEEE multiplication tree, so the
+    result is bit-identical (libm pow() is not guaranteed to be)."""
+    while n > 1:
+        expr = f"(({expr}) * ({expr}))"
+        n //= 2
+    return expr
+
+
+def _pow_sq_col(col: F.Column, n: int) -> F.Column:
+    while n > 1:
+        col = col * col
+        n //= 2
+    return col
+
+
+def _band_tuning_oracle() -> str:
+    legs = []
+    for b, r in _BAND_GRID:
+        p = _pow_sq_sql("s", r)
+        cap = f"(1.0 - {_pow_sq_sql(f'(1.0 - {p})', b)})"
+        legs.append(
+            f"""
+SELECT {b} AS bands, {r} AS rows_per_band, sim_bucket, pair_count,
+       round({cap}, 6) AS capture_prob
+FROM (SELECT sim_bucket, pair_count,
+             CAST(2 * sim_bucket + 1 AS DOUBLE) / 40.0 AS s
+      FROM hist)"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a,
+         count(*) FILTER (WHERE b.w IS NOT NULL) AS inter,
+         any_value(na.n) + any_value(nb.n)
+           - count(*) FILTER (WHERE b.w IS NOT NULL) AS uni
+  FROM toks a
+  LEFT JOIN toks b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
+  JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id) na
+    ON na.doc_id = a.doc_id
+  JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id) nb
+    ON nb.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id
+), hist AS (
+  SELECT least(CAST((20 * inter) // uni AS INTEGER), 19) AS sim_bucket,
+         count(*) AS pair_count
+  FROM pairs GROUP BY 1
+)
+{union}
+ORDER BY bands, sim_bucket
+"""
+
+
+@query("llm_band_tuning", group="llm_ext", oracle=_band_tuning_oracle())
+def llm_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: measure the corpus's actual
+    pairwise-similarity profile on a deterministic O(N) pair sample
+    (consecutive doc_ids), bucket exact Jaccard into 20 bins, and for
+    each candidate (bands x rows) config report the S-curve capture
+    probability ``1 - (1 - s^r)^b`` at the bucket midpoint next to the
+    observed pair mass — the numbers that pick ``llm_dedup_near``'s
+    banding for a given corpus instead of folklore defaults.
+
+    Determinism: bucket indices are pure integer arithmetic
+    (``(20*inter) div uni``), and the S-curve powers are explicit
+    SQUARING CHAINS (both engines run the identical IEEE
+    multiplication tree) rather than libm ``pow`` — so tier A hash
+    matching holds.  Scale shape: the pair sample is an equi-join on
+    ``doc_id+1`` (no all-pairs), the histogram is 20 rows, and the
+    config grid is a constant 4-row expansion of that 20-row table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    b = toks.select((F.col("doc_id") - 1).alias("id_a"), F.col("w").alias("bw"))
+    inter = (
+        toks.join(b, (F.col("doc_id") == F.col("id_a")) & (F.col("w") == F.col("bw")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id"), F.col("n").alias("n_a"))
+    nb = sizes.select((F.col("doc_id") - 1).alias("doc_id"), F.col("n").alias("n_b"))
+    pairs = (
+        na.join(nb, "doc_id")
+        .join(inter, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("inter", F.lit(0))).alias("uni"),
+        )
+    )
+    hist = (
+        pairs.select(
+            F.least(
+                F.expr("CAST((20 * inter) div uni AS INT)"), F.lit(19)
+            ).alias("sim_bucket")
+        )
+        .groupBy("sim_bucket")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    s = (2 * F.col("sim_bucket") + 1).cast("double") / F.lit(40.0)
+    legs = []
+    for bands, rows in _BAND_GRID:
+        p = _pow_sq_col(s, rows)
+        cap = F.lit(1.0) - _pow_sq_col(F.lit(1.0) - p, bands)
+        legs.append(
+            hist.select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "sim_bucket",
+                "pair_count",
+                F.round(cap, 6).alias("capture_prob"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("bands", "sim_bucket")
+
+
+def _pq_train(sample, m: int = 8, ks: int = 16, dsub: int = 8, rounds: int = 8):
+    """Per-subspace Lloyd k-means over a deterministic sample.
+
+    Init = the ``ks`` lowest-sample-index subvectors; assignment ties
+    break to the lowest centroid index (np.argmin) and empty cells
+    keep their previous centroid, so the result is bit-reproducible
+    anywhere numpy runs."""
+    import numpy as np
+
+    sub = sample.reshape(len(sample), m, dsub)
+    books = sub[:ks].transpose(1, 0, 2).copy()  # (m, ks, dsub)
+    for _ in range(rounds):
+        # (n, m, ks) squared distances, argmin over centroids
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)  # (n, m)
+        for mi in range(m):
+            for j in range(ks):
+                members = sub[codes[:, mi] == j, mi, :]
+                if len(members):
+                    books[mi, j] = members.mean(axis=0)
+    return books
+
+
+@query("llm_ann_pq", group="llm_ext", tier="C")
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the 64-dim
+    embedding into m=8 subvectors of 8 dims, quantize each against a
+    16-centroid per-subspace codebook, and answer a top-10 query by
+    Asymmetric Distance Computation — the query is compared to the
+    CODES via a precomputed m x 16 lookup table, never to the raw
+    vectors.
+
+    Scale story: codes are m bytes per vector (8 B vs 256 B raw — a
+    32x scan-size reduction), the ADC scan is a single
+    ``mapInPandas`` pass with NO shuffle (the only exchange is the
+    final TakeOrdered top-k), and the codebook + LUT ship as a
+    task-closure constant (m*16*8 floats).  At 100 TB this is the
+    standard re-rank layer under an IVF coarse quantizer
+    (llm_ann_ivf); determinism comes from a fixed lowest-id training
+    sample, lowest-id k-means init and lowest-index argmin ties.
+    Tier C: PQ distances are approximations with no SQL oracle;
+    recall vs the exact brute-force top-k is pinned by a golden
+    test."""
+    import numpy as np
+    import pandas as pd
+
+    M, KS, DSUB, TOPK = 8, 16, 8, 10
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # deterministic codebook training sample: the 256 lowest vec_ids
+    # (a bounded driver collect — PQ codebooks are trained on a small
+    # sample in practice; the full corpus is only ever ENCODED)
+    seed_rows = emb.orderBy("vec_id").limit(256).collect()
+    sample = np.array([r.v for r in seed_rows], dtype=np.float64)
+    books = _pq_train(sample, m=M, ks=KS, dsub=DSUB)  # (M, 16, 8)
+    q_row = emb.orderBy("vec_id").limit(1).collect()[0]
+    q_id = int(q_row.vec_id)
+    q = np.array(q_row.v, dtype=np.float64).reshape(M, DSUB)  # (M, 8)
+    # ADC lookup table: squared distance from each query subvector to
+    # every centroid of its subspace
+    lut = ((books - q[:, None, :]) ** 2).sum(axis=2)  # (M, 16)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)  # (n, 64)
+            sub = X.reshape(len(pdf), M, DSUB)
+            # encode: argmin over centroids per subspace (ties -> lowest idx)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)  # (n, M)
+            adc = lut[np.arange(M)[None, :], codes].sum(axis=1)  # (n,)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "adc_dist": np.round(adc, 6)}
+            )
+
+    scored = emb.mapInPandas(adc_scan, schema="vec_id long, adc_dist double")
+    return (
+        scored.filter(F.col("vec_id") != q_id)
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOPK)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()))
+            .alias("rank"),
+            "vec_id",
+            "adc_dist",
+        )
+    )

@@ -372,3 +372,80 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, i, s) for r, i, s, _ in picked],
         "rank int, doc_id bigint, score double",
     )
+
+
+@query(
+    "llm_oov_rate",
+    group="curation",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, w
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS n FROM toks GROUP BY w
+  ) QUALIFY row_number() OVER (ORDER BY n DESC, w ASC) <= 1000
+), scored AS (
+  SELECT t.doc_id, t.source,
+         count(*) AS n_tok,
+         count(*) FILTER (WHERE v.w IS NULL) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(n_oov) AS DOUBLE) / sum(n_tok), 6) AS oov_rate,
+       count(*) FILTER (WHERE n_oov * 10 > n_tok * 3) AS n_docs_high_oov
+FROM scored GROUP BY source ORDER BY source
+""",
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage gate: build the corpus top-1000 token
+    vocabulary (count desc, token asc tie-break), then measure each
+    document's out-of-vocabulary token rate and flag documents above
+    30% OOV — the standard tokenizer-fit / gibberish screen run
+    before committing a corpus to an existing tokenizer.
+
+    Scale shape: the vocabulary is a TopK aggregate
+    (TakeOrderedAndProject, no full sort) and is joined back as a
+    1000-row BROADCAST; per-doc rates aggregate integers only
+    (SUM(oov)/SUM(tok) as one final division; the 30% flag is the
+    integer cross-multiplication ``10*oov > 3*tok``), so the hash
+    match holds at any scale with zero float-sum order sensitivity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 1000)
+        .select(F.col("w").alias("vw"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), toks.w == vocab.vw, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count_if(F.col("vw").isNull()).alias("n_oov"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("n_oov").cast("double") / F.sum("n_tok"), 6
+            ).alias("oov_rate"),
+            F.count_if(
+                F.col("n_oov") * 10 > F.col("n_tok") * 3
+            ).alias("n_docs_high_oov"),
+        )
+        .orderBy("source")
+    )

@@ -1112,3 +1112,102 @@ def ts_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kalman, schema=out_schema)
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_interval_union",
+    group="timeseries",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + greatest(CAST(floor(value) AS BIGINT), 1) AS end_s
+  FROM {EVENTS_V} e
+), flagged AS (
+  SELECT event_type, event_id, start_s, end_s,
+         CASE WHEN start_s <= max(end_s) OVER (
+                PARTITION BY event_type
+                ORDER BY start_s, end_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS is_new
+  FROM iv
+), islands AS (
+  SELECT event_type, start_s, end_s,
+         sum(is_new) OVER (PARTITION BY event_type
+                           ORDER BY start_s, end_s, event_id) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT event_type, island_id,
+         min(start_s) AS i_start, max(end_s) AS i_end,
+         count(*) AS n_raw
+  FROM islands GROUP BY event_type, island_id
+)
+SELECT event_type,
+       sum(n_raw) AS n_intervals,
+       count(*) AS n_islands,
+       sum(i_end - i_start) AS covered_s,
+       max(i_end - i_start) AS max_island_s
+FROM merged GROUP BY event_type ORDER BY event_type
+""",
+)
+def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coverage) per event type — the classic
+    gaps-and-islands merge: each event spans
+    ``[floor(epoch(ts)), floor(epoch(ts)) + max(floor(value), 1))``
+    seconds; overlapping or touching spans merge into islands and the
+    report is raw-interval count, island count, total covered seconds
+    and the widest island.
+
+    Scale shape: one window over (event_type)-partitioned data — the
+    partition count is the parallelism unit, and within a partition
+    the running-max-end prefix scan is the textbook O(n log n)
+    sort-based interval union (no self-join, no explode of the time
+    domain, which an interval-overlap join would need).  All
+    arithmetic is integer seconds, so the hash match is exact at any
+    scale.  Touching intervals (start == running max end) merge —
+    half-open [s, e) adjacency convention, documented so both engines
+    agree on the boundary."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("start_s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(F.floor("value").cast("bigint"), F.lit(1))
+        ).alias("end_s"),
+    )
+    order = [F.col("start_s"), F.col("end_s"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(
+            F.col("start_s") <= F.max("end_s").over(w_prev), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island_id", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("event_type", "island_id").agg(
+        F.min("start_s").alias("i_start"),
+        F.max("end_s").alias("i_end"),
+        F.count("*").alias("n_raw"),
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.sum("n_raw").alias("n_intervals"),
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_s"),
+            F.max(F.col("i_end") - F.col("i_start")).alias("max_island_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -124,6 +124,10 @@ COVERING_TESTS = {
         "tests.test_units_streaming",
         "test_anomaly_baseline_matches_batch_rule",
     ),
+    "llm_ann_pq": (
+        "tests.test_units_llm_ext",
+        "test_pq_adc_matches_numpy_and_recall",
+    ),
     "llm_mmr_diversify": (
         "tests.test_units_selection",
         "test_mmr_matches_local_greedy",

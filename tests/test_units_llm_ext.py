@@ -187,3 +187,47 @@ def test_lsh_ann_recovers_planted_neighbors(spark, sf_dir):
         for r in lsh_ann_topk(corpus, probes, k=5, nbits=8).collect()
     }
     assert again == {(r.probe_id, r.neighbor_id, r.sim) for r in rows}
+
+
+def test_pq_adc_matches_numpy_and_recall(spark, sf_dir):
+    """llm_ann_pq golden: (a) the distributed ADC scan reproduces a
+    local numpy replay of the same codebook/LUT bit-for-bit, and
+    (b) PQ top-10 overlaps the exact brute-force top-10 (recall
+    floor — PQ is approximate by construction)."""
+    import numpy as np
+
+    from pg_telemetry_spark.queries.llm_ext import _pq_train, llm_ann_pq
+    from pg_telemetry_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    got = llm_ann_pq(spark, sf_dir).collect()
+    assert [r.rank for r in got] == list(range(1, 11))
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([r.v for r in emb], dtype=np.float64)
+    M, KS, DSUB = 8, 16, 8
+    books = _pq_train(X[:256], m=M, ks=KS, dsub=DSUB)
+    q = X[0].reshape(M, DSUB)
+    lut = ((books - q[:, None, :]) ** 2).sum(axis=2)
+    sub = X.reshape(len(X), M, DSUB)
+    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=2)
+    adc = np.round(lut[np.arange(M)[None, :], codes].sum(axis=1), 6)
+
+    # (a) exact replay of the distributed ADC values
+    local = {int(i): float(a) for i, a in zip(ids, adc)}
+    for r in got:
+        assert local[r.vec_id] == r.adc_dist
+
+    # (b) recall vs exact brute-force top-10 (query vector excluded)
+    exact_d = ((X - X[0]) ** 2).sum(axis=1)
+    order = np.lexsort((ids, exact_d))
+    exact_top = [int(ids[i]) for i in order if ids[i] != ids[0]][:10]
+    overlap = len(set(exact_top) & {r.vec_id for r in got})
+    assert overlap >= 4, f"PQ recall@10 too low: {overlap}/10"

@@ -61,6 +61,13 @@ def vhash(cols, rows):
     return h.hexdigest()
 
 qs, osql = e.queries(), e.oracle_sql()
+# SPARK_GRAFT_SIM_ONLY: comma-separated name filter — used by
+# tools/sweep_topup.py to merge freshly-landed operators into an
+# existing decade archive without re-running the whole registry.
+_only = _os.environ.get("SPARK_GRAFT_SIM_ONLY")
+if _only:
+    keep = set(_only.split(","))
+    qs = {n: f for n, f in qs.items() if n in keep}
 ok = bad = 0
 t_start = time.perf_counter()
 timings = {}
