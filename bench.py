@@ -44,6 +44,11 @@ if str(REPO) not in sys.path:
 from pg_telemetry_spark.registry import all_queries  # noqa: E402
 from pg_telemetry_spark.session import get_session  # noqa: E402
 
+#: "<sf_dir>:<query>" -> error string for any query that failed
+#: mid-suite (fault isolation, round 9); emitted in the artifact so
+#: BASELINE.md must adjudicate every entry.
+_FAILURES: dict[str, str] = {}
+
 #: Headline queries (grown as operators land); anything missing from
 #: the registry is skipped so bench never breaks mid-build.
 HEADLINE = [
@@ -201,6 +206,11 @@ HEADLINE = [
     "llm_oov_rate",
     "llm_band_tuning",
     "llm_ann_pq",
+    # round-9 batch 10: M4, SAX, churn, temperature mix
+    "ts_downsample_m4",
+    "ts_sax_symbolic",
+    "wl_churn_rate",
+    "llm_temperature_mix",
 ]
 
 
@@ -247,7 +257,23 @@ def _run_suite(
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        _run_df(registry[name].fn(spark, sf_dir), mode)
+        try:
+            _run_df(registry[name].fn(spark, sf_dir), mode)
+        except Exception as ex:  # fault isolation (round 9): one
+            # query dying mid-leg (e.g. a heap spike at the 100x
+            # decade) must cost ITS row, not the whole artifact — the
+            # r9 run-1 sf10 leg died at query ~120/135 and produced
+            # nothing.  Failures surface as a "failures" map the
+            # baseline discipline must adjudicate.
+            timings[name] = round(time.perf_counter() - t0, 3)
+            _FAILURES[f"{sf_dir}:{name}"] = (
+                f"{type(ex).__name__}: {str(ex)[:160]}"
+            )
+            print(
+                f"BENCH QUERY FAILED [{sf_dir}] {name}: {type(ex).__name__}",
+                file=sys.stderr,
+            )
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         if gc_between:
             # Long single-session legs accumulate shuffle files on
@@ -401,6 +427,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "dominance_flags": _dominance_flags(timings),
+        "failures": _FAILURES,
         "sf": sf,
         "sf_dir": sf_dir,
         "mode": mode,

@@ -1724,3 +1724,81 @@ def wl_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         depth.groupBy("depth").agg(F.count("*").alias("n_users")).orderBy("depth")
     )
+
+
+@query(
+    "wl_churn_rate",
+    group="workload",
+    oracle=f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM {EVENTS_V} e
+), days AS (
+  SELECT DISTINCT day FROM activity
+), paired AS (
+  SELECT a.day, a.user_id,
+         CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM activity a
+  LEFT JOIN activity b
+    ON b.user_id = a.user_id
+   AND b.day = CAST(a.day + INTERVAL 1 DAY AS DATE)
+  WHERE EXISTS (SELECT 1 FROM days d
+                WHERE d.day = CAST(a.day + INTERVAL 1 DAY AS DATE))
+)
+SELECT day, count(*) AS active_users,
+       sum(churned) AS churned_users,
+       round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS churn_rate
+FROM paired GROUP BY day ORDER BY day
+""",
+)
+def wl_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily churn: of the users active on day d, the fraction with
+    NO activity on day d+1 (days with no successor day in the data
+    are excluded — their churn is right-censored, the classic
+    subscription-analytics correction; the fixture spans ~30 days so
+    the day grain is the meaningful one).
+
+    Scale shape: activity is one DISTINCT on (user, day) — rows
+    collapse to user-days before any join — then a self
+    LEFT-equi-join on (user, day+1) and an integer aggregate; the
+    day lattice used for censoring is a broadcast semi-join.  Only
+    integer counts aggregate, one final division."""
+    e = _events(spark, sf_dir)
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    nxt = activity.select(
+        F.col("user_id").alias("b_uid"),
+        F.col("day").alias("b_day"),
+    )
+    paired = (
+        activity.join(
+            F.broadcast(days.select(F.col("day").alias("d_ok"))),
+            F.date_add(F.col("day"), 1) == F.col("d_ok"),
+            "left_semi",
+        )
+        .join(
+            nxt,
+            (F.col("b_uid") == F.col("user_id"))
+            & (F.col("b_day") == F.date_add(F.col("day"), 1)),
+            "left",
+        )
+        .select(
+            "day",
+            F.when(F.col("b_uid").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "churned"
+            ),
+        )
+    )
+    return (
+        paired.groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum("churned").alias("churned_users"),
+            F.round(
+                F.sum("churned").cast("double") / F.count("*"), 6
+            ).alias("churn_rate"),
+        )
+        .orderBy("day")
+    )

@@ -289,3 +289,70 @@ def llm_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tok").alias("sample_tok"),
         )
     )
+
+
+@query(
+    "llm_temperature_mix",
+    group="curation",
+    oracle="""
+WITH src AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_docs) AS n FROM src
+), smooth AS (
+  SELECT source, n_docs,
+         round(CAST(n_docs AS DOUBLE) / n, 6) AS p_raw,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE) / n), 12)
+              AS DECIMAL(20,12)) AS s
+  FROM src CROSS JOIN tot
+), denom AS (
+  SELECT sum(s) AS d FROM smooth
+)
+SELECT source, n_docs, p_raw,
+       round(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 6) AS q_alpha,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(d AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS per_million
+FROM smooth CROSS JOIN denom
+ORDER BY source
+""",
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-LM
+    sampling recipe of Conneau & Lample 2019 / mT5, alpha = 0.5):
+    raw source shares p_i are flattened to q_i proportional to
+    p_i^alpha, boosting low-resource sources without drowning
+    high-resource ones; reports both distributions and the per-million
+    sample allocation.
+
+    Determinism at scale: the alpha power is one sqrt per SOURCE
+    (correctly-rounded IEEE on both engines), each value is rounded to
+    12 decimals and summed as EXACT DECIMALS (detsum discipline — the
+    normalizing denominator is order-independent), and the final
+    quotient divides identical doubles.  Scale shape: one count
+    aggregate on source, then arithmetic over the (tiny) source
+    dimension broadcast via two 1-row cross joins — the corpus is
+    touched exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n"))
+    smooth = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("p_raw"),
+        F.round(F.sqrt(F.col("n_docs").cast("double") / F.col("n")), 12)
+        .cast("decimal(20,12)")
+        .alias("s"),
+    )
+    denom = smooth.agg(F.sum("s").alias("d"))
+    q = F.col("s").cast("double") / F.col("d").cast("double")
+    return (
+        smooth.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "p_raw",
+            F.round(q, 6).alias("q_alpha"),
+            F.floor(q * 1000000.0).cast("bigint").alias("per_million"),
+        )
+        .orderBy("source")
+    )

@@ -1211,3 +1211,196 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_downsample_m4",
+    group="timeseries",
+    oracle=f"""
+WITH pix AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         value, ts, event_id
+  FROM {EVENTS_V} e
+)
+SELECT event_type, bucket,
+       count(*) AS n,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000
+                            + event_id), 6) AS v_first,
+       round(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000
+                            + event_id), 6) AS v_last
+FROM pix GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, pixel-column) keep exactly the min, max, FIRST and LAST
+    values — the four points that make a line chart render
+    pixel-identically to the full-resolution series.  Pixel columns
+    are 6-hour buckets of integer epoch seconds.
+
+    vs ``ts_minmax_decimate`` (min/max only) and ``ts_lttb``
+    (perceptual, tier C): M4 is the exact-error-bound variant and
+    stays tier A.  First/last are ``min_by``/``max_by`` over a
+    composite (epoch-microsecond, event_id) DECIMAL key (a total
+    order, so ties are impossible) — unsorted single-pass aggregates,
+    no sort window; one hash aggregate on (series, bucket) is the
+    whole plan at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    pix = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(21600)).cast("bigint").alias("bucket"),
+        "value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+            * F.lit(10000000)
+            + F.col("event_id")
+        ).alias("t_key"),
+    )
+    key = F.col("t_key")
+    return (
+        pix.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.min_by("value", key), 6).alias("v_first"),
+            F.round(F.max_by("value", key), 6).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "ts_sax_symbolic",
+    group="timeseries",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM {EVENTS_V} e GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         count(*) AS n_hours,
+         CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS ex2
+  FROM hourly GROUP BY event_type
+), z AS (
+  SELECT h.event_type, h.h, s.n_hours,
+         round((h.v - s.mu)
+               / sqrt(greatest(s.ex2 - s.mu * s.mu, 1e-12)), 12) AS z,
+         row_number() OVER (PARTITION BY h.event_type ORDER BY h.h) - 1
+           AS idx
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+), paa AS (
+  SELECT event_type, n_hours, (idx * 8) // n_hours AS seg,
+         round(CAST(sum(CAST(z AS DECIMAL(20,12))) AS DOUBLE)
+               / count(*), 9) AS z_seg
+  FROM z GROUP BY event_type, n_hours, (idx * 8) // n_hours
+), sym AS (
+  SELECT event_type, n_hours, seg,
+         CASE WHEN z_seg < -0.6745 THEN 'a'
+              WHEN z_seg < 0.0 THEN 'b'
+              WHEN z_seg < 0.6745 THEN 'c'
+              ELSE 'd' END AS s
+  FROM paa
+)
+SELECT event_type, n_hours,
+       string_agg(s, '' ORDER BY seg) AS sax_word
+FROM sym GROUP BY event_type, n_hours ORDER BY event_type
+""",
+)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic aggregation (Lin et al. 2003): each event type's
+    hourly-mean series is z-normalized, Piecewise-Aggregate-
+    Approximated into 8 segments, and mapped onto a 4-symbol alphabet
+    at the standard-normal quartile breakpoints (±0.6745, 0) — the
+    representation behind symbolic time-series indexing/motif search.
+
+    Determinism: every mean on the path (hourly, series, segment) is
+    an exact-decimal sum divided by a count; the single sqrt and the
+    breakpoint CASE see bit-identical doubles on both engines, and
+    rounding z to 12 decimals before the PAA re-aggregation keeps the
+    decimal discipline transitive.  Scale shape: three hash
+    aggregates, one series-partitioned window for the index — the
+    alphabet mapping and word assembly are per-group folds over 8
+    rows."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint").alias("h"),
+            F.col("value").cast("decimal(18,6)").alias("vd"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.round(F.sum("vd").cast("double") / F.count("*"), 6).alias("v")
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        (F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "mu"
+        ),
+        (
+            F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("ex2"),
+    )
+    w_idx = Window.partitionBy("event_type").orderBy("h")
+    z = (
+        hourly.join(stats, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "h",
+            F.round(
+                (F.col("v") - F.col("mu"))
+                / F.sqrt(
+                    F.greatest(
+                        F.col("ex2") - F.col("mu") * F.col("mu"), F.lit(1e-12)
+                    )
+                ),
+                12,
+            ).alias("z"),
+        )
+        .withColumn("idx", F.row_number().over(w_idx) - 1)
+    )
+    paa = (
+        z.withColumn("seg", F.expr("(idx * 8) div n_hours"))
+        .groupBy("event_type", "n_hours", "seg")
+        .agg(
+            F.round(
+                F.sum(F.col("z").cast("decimal(20,12)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("z_seg")
+        )
+    )
+    sym = paa.select(
+        "event_type",
+        "n_hours",
+        "seg",
+        F.when(F.col("z_seg") < -0.6745, F.lit("a"))
+        .when(F.col("z_seg") < 0.0, F.lit("b"))
+        .when(F.col("z_seg") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("s"),
+    )
+    return (
+        sym.groupBy("event_type", "n_hours")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "s"))).getField("s")
+            ).alias("sax_word")
+        )
+        .orderBy("event_type")
+    )

@@ -149,7 +149,12 @@ def get_session(app_name: str = "pg_telemetry_spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g default (round 9): the single-JVM local harness now runs
+        # 135-query legs up to sf10 in one session; 8g survived 67
+        # queries (r8) but OOMed ~120 queries into the r9 sf10 leg.
+        # On a real cluster this is per-executor sizing, not a scale
+        # assumption — the box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
