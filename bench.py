@@ -49,6 +49,60 @@ from pg_telemetry_spark.session import get_session  # noqa: E402
 #: BASELINE.md must adjudicate every entry.
 _FAILURES: dict[str, str] = {}
 
+
+def _alive(spark) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def _revive(spark):
+    """Return a live session, rebuilding the JVM context if the last
+    one died mid-leg.  Observed (r9 run A): one executor OOM during
+    llm_dedup_incr's sf10 index build stopped the local
+    SparkContext, and the remaining 43 queries of the leg zombied
+    with "Cannot call methods on a stopped SparkContext" — on a real
+    cluster an executor OOM costs an executor, not the application,
+    so the local harness must model that by reviving."""
+    if _alive(spark):
+        return spark
+    print("BENCH: SparkContext died — rebuilding session", file=sys.stderr)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    try:  # drop pyspark's cached handles to the dead session
+        from pyspark.sql import SparkSession
+
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+    except Exception:
+        pass
+    return get_session("pg_telemetry_spark-bench-revived")
+
+
+def _fresh(spark):
+    """Stop and rebuild the session at a leg boundary.  Heap in a
+    single local JVM accumulates across hundred-query legs (broadcast
+    and shuffle bookkeeping is cleaned lazily); r9 run A reached the
+    sf10 leg with three legs of residue and OOMed ~90 queries in even
+    at 16g, while every query passes solo.  A fresh JVM per leg
+    bounds the residue to one leg — startup is untimed, so leg
+    numbers stay honest."""
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    try:
+        from pyspark.sql import SparkSession
+
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+    except Exception:
+        pass
+    return get_session("pg_telemetry_spark-bench-leg")
+
 #: Headline queries (grown as operators land); anything missing from
 #: the registry is skipped so bench never breaks mid-build.
 HEADLINE = [
@@ -252,7 +306,9 @@ def _prebuild_incr_index(spark, names, sf_dir: str) -> None:
 
 def _run_suite(
     spark, registry, names, sf_dir: str, mode: str, gc_between: bool = False
-) -> dict:
+):
+    """Returns (spark, timings) — the session may have been revived
+    mid-leg, so callers must adopt the returned handle."""
     _prebuild_incr_index(spark, names, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
@@ -273,6 +329,7 @@ def _run_suite(
                 f"BENCH QUERY FAILED [{sf_dir}] {name}: {type(ex).__name__}",
                 file=sys.stderr,
             )
+            spark = _revive(spark)
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         if gc_between:
@@ -290,7 +347,7 @@ def _run_suite(
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-    return timings
+    return spark, timings
 
 
 def _scale_curve(spark, registry, names) -> dict | None:
@@ -324,9 +381,10 @@ def _scale_curve(spark, registry, names) -> dict | None:
         spark.catalog.clearCache()
 
     cold()
-    lo = _run_suite(spark, registry, names, "/root/testdata/sf0.1", "noop")
+    spark, lo = _run_suite(spark, registry, names, "/root/testdata/sf0.1", "noop")
+    spark = _fresh(spark)
     cold()
-    hi = _run_suite(spark, registry, names, sf1_dir, "noop")
+    spark, hi = _run_suite(spark, registry, names, sf1_dir, "noop")
     ratios = {
         n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in names
     }
@@ -353,7 +411,10 @@ def _scale_curve(spark, registry, names) -> dict | None:
     sf10_dir = str(REPO / "scaledata" / "sf10")
     if os.environ.get("SPARK_GRAFT_SCALE3", "") == "1" and os.path.isdir(sf10_dir):
         cold()
-        hi10 = _run_suite(spark, registry, names, sf10_dir, "noop", gc_between=True)
+        spark = _fresh(spark)
+        spark, hi10 = _run_suite(
+            spark, registry, names, sf10_dir, "noop", gc_between=True
+        )
         out["sf10"] = {
             "value": round(sum(hi10.values()), 3),
             "queries": hi10,
@@ -382,7 +443,7 @@ def main() -> None:
     if names:
         run(registry[names[0]].fn(spark, sf_dir))
 
-    timings = _run_suite(spark, registry, names, sf_dir, mode)
+    spark, timings = _run_suite(spark, registry, names, sf_dir, mode)
     total = round(sum(timings.values()), 3)
 
     # Streaming suite: every group="streaming" query through the
@@ -440,7 +501,14 @@ def main() -> None:
     (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     sys.stdout.flush()
-    spark.stop()
+    try:  # the session may have been revived (and the old one
+        # stopped) inside a leg; stopping a dead handle is a no-op
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        (active or spark).stop()
+    except Exception:
+        spark.stop()
     # Compact headline line LAST — after spark.stop() so shutdown logs
     # and console-progress stderr cannot land after it in the driver's
     # combined-output tail capture.

@@ -92,3 +92,31 @@ def test_dominance_flags():
                                    "e": 1.0, "f": 1.0, "g": 1.0}) == []
     assert bench._dominance_flags({}) == []
     assert bench._dominance_flags({"a": 0.0}) == []
+
+
+def test_suite_fault_isolation(spark):
+    """A query that throws mid-suite costs its own row (recorded in
+    bench._FAILURES), never the leg: round 9's first sf10 run died
+    ~120 queries in and produced NO artifact at all."""
+    from types import SimpleNamespace
+
+    def ok(s, sf):
+        return s.range(3)
+
+    def boom(s, sf):
+        raise RuntimeError("synthetic mid-leg failure")
+
+    registry = {
+        "q_ok": SimpleNamespace(fn=ok),
+        "q_boom": SimpleNamespace(fn=boom),
+        "q_ok2": SimpleNamespace(fn=ok),
+    }
+    bench._FAILURES.clear()
+    spark2, timings = bench._run_suite(
+        spark, registry, ["q_ok", "q_boom", "q_ok2"], "/tmp", "noop"
+    )
+    assert spark2 is spark  # context survived, no revival needed
+    assert set(timings) == {"q_ok", "q_boom", "q_ok2"}
+    assert list(bench._FAILURES) == ["/tmp:q_boom"]
+    assert "RuntimeError" in bench._FAILURES["/tmp:q_boom"]
+    bench._FAILURES.clear()
