@@ -853,19 +853,49 @@ GROUP BY l.l_returnflag, q.q1, q.q3
 )
 def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier census per return flag: exact interpolated
-    quartiles (agg_percentile's quantile_cont parity discipline),
-    1.5-IQR fences, per-group outlier counts below/above with a
-    sample order key for triage.
+    quartiles (quantile_cont parity), 1.5-IQR fences, per-group
+    outlier counts below/above with a sample order key for triage.
 
-    Scale shape: two passes over the fact table — one grouped exact
-    percentile (Spark's percentile agg is a single shuffle; at
-    warehouse scale swap in approx_percentile and re-grade tier C),
-    then fences join back as a BROADCAST 3-row table so the counting
-    pass is map-side only plus the final 3-key agg."""
+    Scale shape: the quartiles come from a HISTOGRAM-CDF, not from
+    Spark's exact percentile aggregate — percentile buffers every
+    value of a group inside one aggregation buffer (at sf10 that is
+    20M doubles per returnflag, and it OOMed the 100x leg in both r9
+    runs that hit it).  l_extendedprice is money: group to a
+    (flag, price) histogram first (bounded by DISTINCT prices, spread
+    across shuffle partitions), then read both quartiles off the
+    cumulative distribution with quantile_cont's exact
+    ``lo + frac*(hi-lo)`` interpolation at rank (n-1)*q.  Same
+    discipline as llm_lm_filter's perplexity cutoff.  The fence
+    passes are unchanged: a BROADCAST 3-row join and one map-side
+    counting aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("cnt")
+    )
+    w_cdf = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cdf = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("cnt").over(w_cdf).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def _qcont(p: float) -> F.Column:
+        # rank/k_lo/frac are row-level (constant within a group:
+        # they depend only on the group's n); v_lo/v_hi aggregate
+        rank = (F.col("n") - 1) * F.lit(p)
+        k_lo = F.floor(rank)
+        frac = rank - k_lo
+        v_lo = F.min(F.when(F.col("cum") > k_lo, F.col("l_extendedprice")))
+        v_hi = F.min(
+            F.when(F.col("cum") > k_lo + 1, F.col("l_extendedprice"))
+        )
+        # top rank: k_lo+1 may exceed n-1 — v_hi is NULL there and
+        # frac is 0, so coalesce to v_lo keeps the formula exact
+        return v_lo + F.min(frac) * (F.coalesce(v_hi, v_lo) - v_lo)
+
+    q = cdf.groupBy("l_returnflag").agg(
+        _qcont(0.25).alias("q1"), _qcont(0.75).alias("q3")
     )
     iqr = F.col("q3") - F.col("q1")
     lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr

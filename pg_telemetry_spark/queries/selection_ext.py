@@ -285,6 +285,9 @@ def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_K = 20
 _MMR_SIGS = 16
 _MMR_LAMBDA = 0.7
+#: retrieval-pool bound: the greedy re-ranks the top-POOL docs by
+#: relevance (MMR's published deployment shape), not the corpus
+_MMR_POOL = 200
 
 
 def _mmr_minhash_cols():
@@ -311,66 +314,64 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a Jaccard estimate) — the diversity-aware sampler used to cap
     near-redundant training batches.
 
-    Scale shape: signatures are ONE groupBy over exploded words (16
-    min-aggregates, map-side combinable); each greedy round scores
-    all remaining docs against the <=20 SELECTED signatures carried
-    in a broadcast-sized literal array and collects exactly ONE
-    argmax row (k=20 bounded 1-row collects — the same bounded
-    driver-scalar inventory class as the BPE merge loop, SCALE.md).
+    Scale shape (round-9 rewrite): MMR as published RE-RANKS a
+    retrieval pool, not a corpus — the r9-early version ran the
+    greedy over ALL remaining docs, which cost 20 corpus scans + 20
+    collects (36.6 s at sf1, the most expensive query of the leg, and
+    heading to x10 that at sf10 for a k=20 answer).  Now: signatures
+    are ONE groupBy over exploded words (16 min-aggregates, map-side
+    combinable), the candidate pool is ONE TakeOrderedAndProject of
+    the top-200 by relevance (vocab desc, doc_id asc — the corpus max
+    vocab is inside the pool by construction), and the k=20 greedy
+    runs on those 200 driver-side rows (200 x 20 x 16 integer
+    comparisons — constant work, same bounded-collect class as the
+    BPE merge loop but ONE collect instead of 21).
     Tier C: the greedy trajectory is order-sequential by definition;
-    golden replays it in local python (tests/test_units_selection.py)."""
+    golden replays the same pool-bounded algorithm in local python
+    (tests/test_units_selection.py)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
     sigs = words.groupBy("doc_id").agg(
         F.countDistinct("w").alias("vocab"), *_mmr_minhash_cols()
-    )
-    sigs = sigs.select(
+    ).select(
         "doc_id",
         "vocab",
         F.array(*[F.col(f"mh{i}") for i in range(_MMR_SIGS)]).alias("sig"),
-    ).persist()
-    max_vocab = sigs.agg(F.max("vocab")).collect()[0][0]  # 1-row scalar
+    )
+    pool = (
+        sigs.orderBy(F.desc("vocab"), F.asc("doc_id"))
+        .limit(_MMR_POOL)
+        .collect()
+    )  # ONE bounded collect: the 200-row candidate pool
+    vocab = {r["doc_id"]: r["vocab"] for r in pool}
+    sig = {r["doc_id"]: list(r["sig"]) for r in pool}
+    max_vocab = max(vocab.values())
 
-    picked: list[tuple] = []  # (rank, doc_id, score, sig)
-    remaining = sigs
+    picked: list[tuple] = []  # (rank, doc_id, score)
+    chosen: list[int] = []
+    remaining = set(vocab)
     for rank in range(1, _MMR_K + 1):
-        rel = F.col("vocab").cast("double") / float(max_vocab)
-        if picked:
-            sel = F.array(
-                *[
-                    F.array(*[F.lit(int(x)) for x in sig])
-                    for _, _, _, sig in picked
-                ]
-            )
-            sim = F.array_max(
-                F.transform(
-                    sel,
-                    lambda s: F.aggregate(
-                        F.zip_with(
-                            F.col("sig"), s, lambda a, b: (a == b).cast("int")
-                        ),
-                        F.lit(0),
-                        lambda acc, x: acc + x,
-                    ).cast("double")
-                    / float(_MMR_SIGS),
+        best = None
+        for doc in remaining:
+            rel = vocab[doc] / max_vocab
+            sim = (
+                max(
+                    sum(a == b for a, b in zip(sig[doc], sig[s])) / _MMR_SIGS
+                    for s in chosen
                 )
+                if chosen
+                else 0.0
             )
-        else:
-            sim = F.lit(0.0)
-        scored = remaining.select(
-            "doc_id",
-            "sig",
-            F.round(_MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * sim, 9).alias("score"),
-        )
-        best = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(1).collect()[0]
-        picked.append((rank, best["doc_id"], float(best["score"]), list(best["sig"])))
-        remaining = remaining.filter(F.col("doc_id") != best["doc_id"])
-    sigs.unpersist()
+            score = round(_MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * sim, 9)
+            if best is None or (score, -doc) > (best[0], -best[1]):
+                best = (score, doc)
+        picked.append((rank, best[1], best[0]))
+        chosen.append(best[1])
+        remaining.discard(best[1])
     return spark.createDataFrame(
-        [(r, i, s) for r, i, s, _ in picked],
-        "rank int, doc_id bigint, score double",
+        picked, "rank int, doc_id bigint, score double"
     )
 
 

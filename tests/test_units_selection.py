@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pg_telemetry_spark.queries.selection_ext import (
     _MMR_K,
     _MMR_LAMBDA,
+    _MMR_POOL,
     _MMR_SIGS,
     llm_dsir_resample,
     llm_mmr_diversify,
@@ -41,6 +42,11 @@ def test_mmr_matches_local_greedy(spark):
         if ws
     }
     vocab = {d: len(ws) for d, ws in docs.items() if ws}
+    # pool-bounded MMR (round 9): the greedy re-ranks the top-_MMR_POOL
+    # docs by (vocab desc, doc_id asc), mirroring the operator
+    pool = sorted(vocab, key=lambda d: (-vocab[d], d))[:_MMR_POOL]
+    sigs = {d: sigs[d] for d in pool}
+    vocab = {d: vocab[d] for d in pool}
     max_vocab = max(vocab.values())
     picked: list[int] = []
     remaining = set(sigs)
