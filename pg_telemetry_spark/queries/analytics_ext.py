@@ -1746,7 +1746,7 @@ WITH activity AS (
                 WHERE d.day = CAST(a.day + INTERVAL 1 DAY AS DATE))
 )
 SELECT day, count(*) AS active_users,
-       sum(churned) AS churned_users,
+       CAST(sum(churned) AS BIGINT) AS churned_users,
        round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS churn_rate
 FROM paired GROUP BY day ORDER BY day
 """,

@@ -1144,9 +1144,9 @@ WITH iv AS (
   FROM islands GROUP BY event_type, island_id
 )
 SELECT event_type,
-       sum(n_raw) AS n_intervals,
+       CAST(sum(n_raw) AS BIGINT) AS n_intervals,
        count(*) AS n_islands,
-       sum(i_end - i_start) AS covered_s,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_s,
        max(i_end - i_start) AS max_island_s
 FROM merged GROUP BY event_type ORDER BY event_type
 """,
