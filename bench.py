@@ -291,6 +291,12 @@ HEADLINE = [
     "ts_sax_symbolic",
     "wl_churn_rate",
     "llm_temperature_mix",
+    # round-10: typed stat-view rollups + LSH verify promotion
+    "pgw_stmt_top_delta",
+    "pgw_locks_contention",
+    "pgw_bgwriter_rate",
+    "pgw_replication_health",
+    "llm_lsh_verify",
 ]
 
 

@@ -116,3 +116,156 @@ class TelemetryCollector:
                 F.round(F.sum("sum_value"), 6).alias("sum_value"),
             )
         )
+
+
+# ---------------------------------------------------------------------
+# Typed stat-view collection (§0.1's remaining views)
+# ---------------------------------------------------------------------
+
+#: Cumulative-counter layout per view: (series key columns, counter
+#: columns).  Gauge views (pg_locks, pg_stat_replication) land raw
+#: only — their analytics need no cross-tick state.
+CUMULATIVE_VIEWS: dict[str, tuple[list[str], list[str]]] = {
+    "pg_stat_statements": (["queryid"], ["calls", "total_exec_time", "rows"]),
+    "pg_stat_bgwriter": ([], ["checkpoints_timed", "buffers_checkpoint", "buffers_clean"]),
+}
+
+
+def counter_increases(
+    snaps: DataFrame, keys: list[str], counters: list[str]
+) -> DataFrame:
+    """Per-tick increase() of cumulative counters with the §0.1 reset
+    rule: a negative delta means the server restarted — contribute
+    the post-reset LEVEL, not the negative difference.  One window
+    per series key; first tick of each series yields no row (no
+    previous sample).  Shared by the batch rollup below and by any
+    ad-hoc analysis over landed snapshots."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys).orderBy("snap_ts")
+        if keys
+        else Window.partitionBy(F.lit(1)).orderBy("snap_ts")
+    )
+    cols = [F.col(c) for c in ("snap_ts", *keys)]
+    for c in counters:
+        delta = F.col(c) - F.lag(c).over(w)
+        cols.append(
+            F.when(delta < 0, F.col(c)).otherwise(delta).alias(f"{c}_inc")
+        )
+    # window results must land in a projection before they can be
+    # filtered on; the first tick of each series has no previous
+    # sample, so its (null) increases are dropped
+    return (
+        snaps.select(*cols, F.lag(counters[0]).over(w).alias("_prev"))
+        .filter(F.col("_prev").isNotNull())
+        .drop("_prev")
+    )
+
+
+@dataclass
+class StatViewCollector:
+    """Collector for ONE typed stat view (§0.1): landed snapshot
+    files -> typed readStream -> raw warehouse table (+ incremental
+    increase() rollup for cumulative views, maintained across batches
+    via a per-series last-sample state table).
+
+    The state table holds exactly one row per series (the latest
+    sample seen), so batch N+1's first delta is computed against
+    batch N's last sample — increases are NEVER lost or double-
+    counted at batch boundaries, and a restart inside the gap still
+    triggers the reset rule.  Replays overwrite by batch_id
+    (idempotent), mirroring TelemetryCollector.
+    """
+
+    spark: SparkSession
+    view: str
+    landing_dir: str
+    warehouse_dir: str
+    checkpoint_dir: str
+
+    def __post_init__(self) -> None:
+        from pg_telemetry_spark.statviews import SCHEMAS
+
+        if self.view not in SCHEMAS:
+            raise ValueError(f"unknown stat view: {self.view}")
+        prepare_session(self.spark)
+        self.schema = SCHEMAS[self.view]
+        self._raw_dir = f"{self.warehouse_dir}/{self.view}/raw"
+        self._rollup_dir = f"{self.warehouse_dir}/{self.view}/increase_1h"
+        self._state_dir = f"{self.warehouse_dir}/{self.view}/last_sample"
+
+    def _ship(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.withColumn("snap_date", F.col("snap_ts").cast("date"))
+                .write.mode("overwrite")
+                .partitionBy("snap_date")
+                .parquet(f"{self._raw_dir}/batch_id={batch_id}")
+            )
+            if self.view in CUMULATIVE_VIEWS:
+                self._rollup(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _rollup(self, batch_df: DataFrame, batch_id: int) -> None:
+        keys, counters = CUMULATIVE_VIEWS[self.view]
+        cols = ["snap_ts", *keys, *counters]
+        snaps = batch_df.select(*cols)
+        try:
+            prev = self.spark.read.parquet(self._state_dir).select(*cols)
+            combined = prev.unionByName(snaps)
+        except Exception:  # first batch: no state yet
+            prev = None
+            combined = snaps
+        inc = counter_increases(combined, keys, counters)
+        # only emit increases for ticks in THIS batch (the state rows
+        # exist purely to seed the first delta of each series)
+        lo = snaps.agg(F.min("snap_ts")).collect()[0][0]
+        inc.filter(F.col("snap_ts") >= lo).write.mode("overwrite").parquet(
+            f"{self._rollup_dir}/batch_id={batch_id}"
+        )
+        # advance the state: latest sample per series across old+new.
+        # Write via a staging dir: the new state derives from the old
+        # state's files, and overwrite-in-place would delete them
+        # mid-read at real scale.
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*keys)
+            if keys
+            else Window.partitionBy(F.lit(1))
+        ).orderBy(F.col("snap_ts").desc())
+        latest = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staged = f"{self._state_dir}_staging"
+        latest.write.mode("overwrite").parquet(staged)
+        self.spark.read.parquet(staged).write.mode("overwrite").parquet(
+            self._state_dir
+        )
+
+    def run_available(self) -> None:
+        stream = self.spark.readStream.schema(self.schema).parquet(
+            self.landing_dir
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._ship)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- query surface ------------------------------------------------
+
+    def raw(self) -> DataFrame:
+        return self.spark.read.option("basePath", self._raw_dir).parquet(
+            f"{self._raw_dir}/batch_id=*"
+        )
+
+    def increases(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self._rollup_dir}/batch_id=*")

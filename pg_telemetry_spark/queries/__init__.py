@@ -8,6 +8,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     analytics_ext,
     asof_misc,
     bpe,
+    collector_views,
     curation,
     dataeng,
     flagship,

@@ -809,3 +809,106 @@ def llm_containment_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(cont >= 0.6).select(
         "id1", "id2", F.round(cont, 6).alias("containment")
     )
+
+
+@query(
+    "llm_lsh_verify",
+    group="llm",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+mutated AS (
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(length(string_split(text, ' ')) - 2, 1)),
+           ' ') AS text
+  FROM planted
+),
+cand AS (
+  SELECT p.doc_id AS id1, p.text AS t1, m.doc_id AS id2, m.text AS t2
+  FROM planted p
+  JOIN mutated m
+    ON m.doc_id - {_DUP_OFFSET} = p.doc_id
+    OR m.doc_id - {_DUP_OFFSET} = p.doc_id + 7
+),
+sh AS (
+  SELECT id1, id2,
+         list_distinct([substring(t1, i, 5)
+                        FOR i IN range(1, greatest(length(t1) - 4, 1) + 1)]) AS s1,
+         list_distinct([substring(t2, i, 5)
+                        FOR i IN range(1, greatest(length(t2) - 4, 1) + 1)]) AS s2
+  FROM cand
+)
+SELECT id1, id2,
+       round(CAST(length(list_intersect(s1, s2)) AS DOUBLE)
+             / length(list_distinct(s1 || s2)), 6) AS j_c5,
+       CAST(CAST(length(list_intersect(s1, s2)) AS DOUBLE)
+            / length(list_distinct(s1 || s2)) >= 0.5 AS INT) AS is_dup
+FROM sh
+ORDER BY id1, id2
+""",
+)
+def llm_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard VERIFY stage of the banded-LSH dedup family
+    as a standalone oracle-checked operator (SURVEY §2.10: the
+    candidate-pair verification IS SQL-expressible even though the
+    minhash/banding candidate GENERATION is not).  Candidates here
+    are a deterministic grid the oracle can mirror — every planted
+    near-copy against its own original (true pair) and against the
+    NEXT planted original (decoy the verify must reject); production
+    feeds the same char-5-gram Jaccard predicate the LSH bucket
+    collisions instead (operators/minhash.py step 5), an equivalence
+    pinned by tests/test_units_llm.py.  Shape: one equi-join to
+    assemble pairs, then per-row set arithmetic — embarrassingly
+    parallel, no shuffle wider than the candidate volume; identical
+    at 100 TB where candidates are O(collisions), never O(n²)."""
+    from pg_telemetry_spark.operators.minhash import with_shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 7 == 0)
+    toks = F.split("text", " ")
+    mutated = planted.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    cand = (
+        planted.select(
+            F.col("doc_id").alias("id1"),
+            F.col("text").alias("t1"),
+            F.explode(
+                F.array(F.col("doc_id"), F.col("doc_id") + 7)
+            ).alias("orig2"),
+        )
+        .join(
+            mutated.select(
+                F.col("doc_id").alias("id2"), F.col("text").alias("t2")
+            ),
+            F.col("orig2") + _DUP_OFFSET == F.col("id2"),
+        )
+        .select("id1", "t1", "id2", "t2")
+    )
+    s1 = with_shingles(
+        cand.select("id1", "id2", F.col("t1").alias("text")), text_col="text"
+    ).withColumnRenamed("shingles", "s1")
+    pair = s1.join(
+        with_shingles(
+            cand.select("id1", "id2", F.col("t2").alias("text")),
+            text_col="text",
+        )
+        .withColumnRenamed("shingles", "s2")
+        .select("id1", "id2", "s2"),
+        ["id1", "id2"],
+    )
+    j = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
+        F.array_union("s1", "s2")
+    )
+    return pair.select(
+        "id1",
+        "id2",
+        F.round(j, 6).alias("j_c5"),
+        (j >= 0.5).cast("int").alias("is_dup"),
+    ).orderBy("id1", "id2")

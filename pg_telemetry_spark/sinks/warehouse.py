@@ -52,13 +52,81 @@ class JdbcWarehouseSink:
     mode: str = "append"
     batch_size: int = 100_000
 
+    def writer_config(self) -> dict:
+        """The exact (format, mode, options) handed to the DataFrame
+        writer — split out so the production seam is contract-testable
+        offline (tests/test_sinks.py pins it against a golden) without
+        a live warehouse to connect to."""
+        return {
+            "format": "jdbc",
+            "mode": self.mode,
+            "options": {
+                "url": self.url,
+                "dbtable": self.table,
+                "batchsize": str(self.batch_size),
+                # one retry-safe txn per executor batch; isolation NONE
+                # because idempotence is warehouse-side (ReplacingMergeTree
+                # / ON CONFLICT keyed on batch_id), not txn-side
+                "isolationLevel": "NONE",
+            },
+        }
+
+    def prepare_batch(self, df: DataFrame, batch_id: int) -> DataFrame:
+        """Stamp the idempotence key; shared by write_batch and the
+        contract test so the tested shape IS the shipped shape."""
+        return df.withColumn("batch_id", F.lit(batch_id))
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        cfg = self.writer_config()
         (
-            df.withColumn("batch_id", F.lit(batch_id))
-            .write.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", self.table)
-            .option("batchsize", self.batch_size)
-            .mode(self.mode)
+            self.prepare_batch(df, batch_id)
+            .write.format(cfg["format"])
+            .options(**cfg["options"])
+            .mode(cfg["mode"])
             .save()
         )
+
+
+#: Spark -> ClickHouse type map for the DDL emitter (public CH docs).
+_CLICKHOUSE_TYPES = {
+    "long": "Int64",
+    "bigint": "Int64",
+    "int": "Int32",
+    "integer": "Int32",
+    "double": "Float64",
+    "float": "Float32",
+    "string": "String",
+    "boolean": "UInt8",
+    "date": "Date32",
+    "timestamp": "DateTime64(6)",
+    "timestamp_ntz": "DateTime64(6)",
+}
+
+
+def clickhouse_ddl(
+    schema, table: str, order_by: tuple[str, ...], version_col: str = "batch_id"
+) -> str:
+    """CREATE TABLE DDL for the warehouse side of the JDBC seam: a
+    ReplacingMergeTree keyed on ``order_by`` and versioned by the
+    batch id, so replayed micro-batches collapse to one row per key —
+    the warehouse-side half of the exactly-once contract
+    (collector-side half: overwrite-by-batch_id).  Emitted from the
+    Spark StructType so schema drift between the stream and the DDL
+    is impossible; goldens in tests/test_sinks.py pin the rendering."""
+    cols = []
+    for f in schema.fields:
+        ch = _CLICKHOUSE_TYPES.get(f.dataType.simpleString())
+        if ch is None:
+            raise ValueError(
+                f"no ClickHouse mapping for column {f.name}: "
+                f"{f.dataType.simpleString()}"
+            )
+        cols.append(f"    `{f.name}` {'Nullable(' + ch + ')' if f.nullable else ch}")
+    cols.append(f"    `{version_col}` Int64")
+    body = ",\n".join(cols)
+    keys = ", ".join(f"`{c}`" for c in order_by)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n{body}\n)\n"
+        f"ENGINE = ReplacingMergeTree(`{version_col}`)\n"
+        f"ORDER BY ({keys})"
+    )

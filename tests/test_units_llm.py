@@ -222,3 +222,30 @@ def test_operators_handle_empty_and_singleton_inputs(spark):
     )
     assert sim_join_blockwise(empty_vecs, threshold=0.1).count() == 0
     assert sim_join_blockwise(one_vec, threshold=0.1).count() == 0
+
+
+def test_lsh_verify_exhibit_matches_production_verify(spark, sf_dir):
+    """llm_lsh_verify (tier A, raw char-5-gram Jaccard) and the
+    production near-dup pipeline (hashed shingles) must agree on the
+    planted true pairs: every (orig, orig+OFFSET) pair the tier-A
+    exhibit marks is_dup=1 must be recovered by the full
+    shingle->minhash->LSH->verify pipeline at the same threshold —
+    the equivalence that makes the exhibit representative of the
+    production verify stage."""
+    from pg_telemetry_spark.queries.llm import _near_dup_pairs
+    from pg_telemetry_spark.registry import all_queries
+
+    exhibit = all_queries()["llm_lsh_verify"].fn(spark, sf_dir).collect()
+    true_dups = {
+        (r.id1, r.id2) for r in exhibit if r.is_dup == 1 and r.id2 - 1_000_000 == r.id1
+    }
+    assert true_dups, "exhibit found no planted true pairs"
+    decoys_rejected = [
+        r for r in exhibit if r.id2 - 1_000_000 != r.id1 and r.is_dup == 0
+    ]
+    assert decoys_rejected, "every decoy passed — the verify filters nothing"
+    production = {
+        (r.id1, r.id2) for r in _near_dup_pairs(spark, sf_dir).collect()
+    }
+    missing = true_dups - production
+    assert not missing, f"production pipeline missed planted pairs: {sorted(missing)[:5]}"
