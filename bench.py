@@ -297,6 +297,8 @@ HEADLINE = [
     "pgw_bgwriter_rate",
     "pgw_replication_health",
     "llm_lsh_verify",
+    "pgw_cache_hit_ratio",
+    "pgw_activity_waits",
 ]
 
 

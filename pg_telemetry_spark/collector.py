@@ -128,6 +128,7 @@ class TelemetryCollector:
 CUMULATIVE_VIEWS: dict[str, tuple[list[str], list[str]]] = {
     "pg_stat_statements": (["queryid"], ["calls", "total_exec_time", "rows"]),
     "pg_stat_bgwriter": ([], ["checkpoints_timed", "buffers_checkpoint", "buffers_clean"]),
+    "pg_stat_database": (["datname"], ["xact_commit", "blks_read", "blks_hit"]),
 }
 
 

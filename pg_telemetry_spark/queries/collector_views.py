@@ -1,9 +1,9 @@
 """Analytic rollups over the typed Postgres stat views (§0.1).
 
-The four views declared in :mod:`pg_telemetry_spark.statviews`
+The six views declared in :mod:`pg_telemetry_spark.statviews`
 (pg_stat_statements, pg_locks, pg_stat_bgwriter,
-pg_stat_replication) each get the query shape the reference's users
-actually chart for it:
+pg_stat_replication, pg_stat_database, pg_stat_activity) each get
+the query shape the reference's users actually chart for it:
 
 - statements → per-hour increase() + top-N hottest statements per day
   (cumulative counters, counter-reset rule, rank/limit);
@@ -11,7 +11,10 @@ actually chart for it:
 - bgwriter → per-tick buffer write RATES from cumulative counters
   (delta / elapsed seconds, reset-guarded);
 - replication → per-standby health: last-point state + lag extremes
-  (argmax-by-ts + exact-decimal mean).
+  (argmax-by-ts + exact-decimal mean);
+- database → buffer-cache hit ratio per (day, db) from cumulative
+  block counters;
+- activity → connection-state / wait-event board (gauge view).
 
 All tier A: the snapshot derivations are written twice (DataFrame in
 statviews.py, ANSI SQL mirrors) so every rollup is hash-gated against
@@ -288,4 +291,115 @@ def pgw_replication_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lag_ms"),
         )
         .orderBy("client_addr")
+    )
+
+
+from pg_telemetry_spark.statviews import (  # noqa: E402
+    STAT_ACTIVITY_SQL,
+    STAT_DATABASE_SQL,
+    derive_stat_activity,
+    derive_stat_database,
+)
+
+_DB = STAT_DATABASE_SQL.format(ev=EVENTS_V)
+_ACT = STAT_ACTIVITY_SQL.format(ev=EVENTS_V)
+
+
+@query(
+    "pgw_cache_hit_ratio",
+    group="collector",
+    oracle=f"""
+WITH snaps AS ({_DB}),
+deltas AS (
+  SELECT CAST(snap_ts AS DATE) AS day, datname,
+         blks_read - lag(blks_read) OVER w AS d_read, blks_read,
+         blks_hit - lag(blks_hit) OVER w AS d_hit, blks_hit,
+         xact_commit - lag(xact_commit) OVER w AS d_xact, xact_commit
+  FROM snaps
+  WINDOW w AS (PARTITION BY datname ORDER BY snap_ts)
+)
+SELECT day, datname,
+       CAST(sum(CASE WHEN d_xact < 0 THEN xact_commit ELSE d_xact END)
+            AS BIGINT) AS xacts,
+       round(CAST(sum(CASE WHEN d_hit < 0 THEN blks_hit ELSE d_hit END)
+                  AS DOUBLE)
+             / (sum(CASE WHEN d_hit < 0 THEN blks_hit ELSE d_hit END)
+                + sum(CASE WHEN d_read < 0 THEN blks_read ELSE d_read END)),
+             6) AS hit_ratio
+FROM deltas WHERE d_read IS NOT NULL
+GROUP BY day, datname
+ORDER BY day, datname
+""",
+)
+def pgw_cache_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer-cache hit ratio per (day, database) from
+    pg_stat_database's cumulative block counters — THE first-glance
+    Postgres health chart: increase(blks_hit) / (increase(blks_hit) +
+    increase(blks_read)) with the §0.1 reset rule on every counter.
+    Integer increases sum exactly, so the single rounded division at
+    the end is the only float op.  One per-db window + one day
+    groupBy; partitioning rides the datname key end to end."""
+    snaps = derive_stat_database(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("datname").orderBy("snap_ts")
+
+    def inc(c: str):
+        d = F.col(c) - F.lag(c).over(w)
+        return F.when(d < 0, F.col(c)).otherwise(d)
+
+    deltas = snaps.select(
+        F.col("snap_ts").cast("date").alias("day"),
+        "datname",
+        inc("blks_read").alias("i_read"),
+        inc("blks_hit").alias("i_hit"),
+        inc("xact_commit").alias("i_xact"),
+    ).filter(F.col("i_read").isNotNull())
+    return (
+        deltas.groupBy("day", "datname")
+        .agg(
+            F.sum("i_xact").cast("bigint").alias("xacts"),
+            F.round(
+                F.sum("i_hit").cast("double")
+                / (F.sum("i_hit") + F.sum("i_read")),
+                6,
+            ).alias("hit_ratio"),
+        )
+        .orderBy("day", "datname")
+    )
+
+
+@query(
+    "pgw_activity_waits",
+    group="collector",
+    oracle=f"""
+WITH act AS ({_ACT})
+SELECT snap_ts, state,
+       count(*) AS n_backends,
+       CAST(count(wait_event) AS BIGINT) AS n_waiting,
+       CAST(sum(CASE WHEN wait_event = 'LWLock' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lwlock
+FROM act
+GROUP BY snap_ts, state
+ORDER BY snap_ts, state
+""",
+)
+def pgw_activity_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connection-state / wait-event board from the pg_stat_activity
+    gauge view: per (snapshot hour, backend state) the backend count,
+    how many sit on any wait event (COUNT over the nullable column —
+    NULL means running free, exactly like the view), and the LWLock
+    subset.  Pure groupBy over gauge rows; NULL-counting semantics
+    are identical in Spark and DuckDB by ANSI rules."""
+    act = derive_stat_activity(load_table(spark, sf_dir, "events"))
+    return (
+        act.groupBy("snap_ts", "state")
+        .agg(
+            F.count("*").alias("n_backends"),
+            F.count("wait_event").cast("bigint").alias("n_waiting"),
+            # when() not ==: a NULL wait_event must contribute 0 like
+            # the oracle's CASE, not a sum-skipped NULL
+            F.sum(F.when(F.col("wait_event") == "LWLock", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lwlock"),
+        )
+        .orderBy("snap_ts", "state")
     )

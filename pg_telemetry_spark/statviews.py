@@ -2,9 +2,10 @@
 
 SURVEY.md §0.1 [K]: a ``pg_telemetry``-class collector snapshots a
 fixed set of cumulative statistics views each tick.  This module
-declares the **typed wire schema** of the four views the collector
+declares the **typed wire schema** of the six views the collector
 ships beyond the generic events feed — ``pg_stat_statements``,
-``pg_locks``, ``pg_stat_bgwriter``, ``pg_stat_replication`` — trimmed
+``pg_locks``, ``pg_stat_bgwriter``, ``pg_stat_replication``,
+``pg_stat_database``, ``pg_stat_activity`` — trimmed
 to their load-bearing columns, plus deterministic snapshot
 derivations from the driver's ``events`` fixture so the analytic
 surface over each view is fully DuckDB-oracle-checkable (tier A).
@@ -82,11 +83,34 @@ PG_STAT_REPLICATION = T.StructType(
     ]
 )
 
+#: pg_stat_database: per database, cumulative.
+PG_STAT_DATABASE = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("datname", T.StringType()),
+        T.StructField("xact_commit", T.LongType()),
+        T.StructField("blks_read", T.LongType()),
+        T.StructField("blks_hit", T.LongType()),
+    ]
+)
+
+#: pg_stat_activity: point-in-time backend list (gauge view).
+PG_STAT_ACTIVITY = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("wait_event", T.StringType()),  # null = not waiting
+    ]
+)
+
 SCHEMAS: dict[str, T.StructType] = {
     "pg_stat_statements": PG_STAT_STATEMENTS,
     "pg_locks": PG_LOCKS,
     "pg_stat_bgwriter": PG_STAT_BGWRITER,
     "pg_stat_replication": PG_STAT_REPLICATION,
+    "pg_stat_database": PG_STAT_DATABASE,
+    "pg_stat_activity": PG_STAT_ACTIVITY,
 }
 
 #: Counter wrap level for the synthetic restarts (statements view):
@@ -279,9 +303,94 @@ SELECT snap_ts, client_addr,
 FROM per
 """
 
+def derive_stat_database(events: DataFrame) -> DataFrame:
+    """pg_stat_database snapshots: 5 databases (user_id %% 5), one
+    row per (db, hour); cumulative xact/block counters are exact
+    prefix sums of hourly activity — blks_hit is scaled 17x over
+    blks_read so the derived cache-hit ratio lands in the realistic
+    ~0.94 band instead of a degenerate constant."""
+    hourly = (
+        events.select(
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            F.concat(F.lit("db_"), (F.col("user_id") % 5)).alias("datname"),
+            F.col("value"),
+        )
+        .groupBy("snap_ts", "datname")
+        .agg(
+            F.count("*").alias("d_xact"),
+            F.sum(
+                F.floor(F.col("value").cast("decimal(18,6)") * 3).cast("long")
+            ).alias("d_read"),
+            F.sum(
+                F.floor(F.col("value").cast("decimal(18,6)") * 51).cast("long")
+            ).alias("d_hit"),
+        )
+    )
+    w = Window.partitionBy("datname").orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        "datname",
+        F.sum("d_xact").over(w).alias("xact_commit"),
+        F.sum("d_read").over(w).alias("blks_read"),
+        F.sum("d_hit").over(w).alias("blks_hit"),
+    )
+
+
+STAT_DATABASE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS snap_ts,
+         'db_' || CAST(user_id % 5 AS VARCHAR) AS datname,
+         count(*) AS d_xact,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 3) AS BIGINT)) AS d_read,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 51) AS BIGINT)) AS d_hit
+  FROM {ev} GROUP BY 1, 2
+)
+SELECT snap_ts, datname,
+       CAST(sum(d_xact) OVER w AS BIGINT) AS xact_commit,
+       CAST(sum(d_read) OVER w AS BIGINT) AS blks_read,
+       CAST(sum(d_hit) OVER w AS BIGINT) AS blks_hit
+FROM hourly
+WINDOW w AS (PARTITION BY datname ORDER BY snap_ts)
+"""
+
+
+def derive_stat_activity(events: DataFrame) -> DataFrame:
+    """pg_stat_activity snapshots: each event is a backend row in its
+    hour's snapshot — pid = user_id %% 200, state from the event_id
+    residue (~60%% active / 30%% idle / 10%% idle-in-txn), wait_event
+    present on every 4th backend (NULL otherwise, like the view)."""
+    return events.select(
+        F.date_trunc("hour", "ts").alias("snap_ts"),
+        (F.col("user_id") % 200).cast("int").alias("pid"),
+        F.when(F.col("event_id") % 10 < 6, "active")
+        .when(F.col("event_id") % 10 < 9, "idle")
+        .otherwise("idle in transaction")
+        .alias("state"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.when(F.col("event_id") % 8 == 0, "LWLock").otherwise("IO"),
+        ).alias("wait_event"),
+    )
+
+
+STAT_ACTIVITY_SQL = """
+SELECT date_trunc('hour', ts) AS snap_ts,
+       CAST(user_id % 200 AS INTEGER) AS pid,
+       CASE WHEN event_id % 10 < 6 THEN 'active'
+            WHEN event_id % 10 < 9 THEN 'idle'
+            ELSE 'idle in transaction' END AS state,
+       CASE WHEN event_id % 4 = 0 THEN
+         CASE WHEN event_id % 8 = 0 THEN 'LWLock' ELSE 'IO' END
+       END AS wait_event
+FROM {ev}
+"""
+
+
 DERIVATIONS = {
     "pg_stat_statements": derive_stat_statements,
     "pg_locks": derive_locks,
     "pg_stat_bgwriter": derive_bgwriter,
     "pg_stat_replication": derive_replication,
+    "pg_stat_database": derive_stat_database,
+    "pg_stat_activity": derive_stat_activity,
 }
