@@ -534,6 +534,17 @@ def main() -> None:
         stream_names = sorted(
             n for n, q in registry.items() if q.group == "streaming"
         )
+        # warm-up, same discipline as the batch headline above: one
+        # untimed streaming run pays the one-time machinery costs
+        # (streaming engine + state-store provider class loading,
+        # foreachBatch python-proxy spin-up, sink codegen) that
+        # otherwise land on whichever op happens to run first.
+        # Measured r10: first-ever streaming op in a session costs
+        # 3-9 s MORE than its steady-state repeat; r9's apparent
+        # streaming "doubling" decomposed into exactly this + 2 new
+        # ops + machine drift (BASELINE.md round-10 section).
+        if stream_names:
+            run(registry["snk_foreachbatch"].fn(spark, stream_sf_dir))
         stream_timings: dict[str, float] = {}
         for name in stream_names:
             t0 = time.perf_counter()
