@@ -299,6 +299,11 @@ HEADLINE = [
     "llm_lsh_verify",
     "pgw_cache_hit_ratio",
     "pgw_activity_waits",
+    # round-11: per-relation stat views (§0.1 completion)
+    "pgw_table_bloat",
+    "pgw_seq_idx_mix",
+    "pgw_unused_indexes",
+    "pgw_relation_growth",
 ]
 
 
@@ -351,11 +356,32 @@ def _prebuild_incr_index(spark, names, sf_dir: str) -> None:
         all_queries()["llm_dedup_incr"].fn(spark, sf_dir).collect()
 
 
+def _warm_fixtures(spark, sf_dir: str) -> None:
+    """Untimed per-leg fixture warm-up: touch every fixture table once
+    so directory listing, parquet footer reads, and FileSourceScan
+    setup are paid BEFORE the first timed row.  Generic fix for the
+    one-time-cost-in-timed-row bug class that has bitten three rounds
+    (r9 llm_dedup_incr revival billing, r9 streaming first-op
+    machinery, r10 driver sf1 leg: join_multiway read 63x because the
+    leg's first queries billed the one-time sf1 fixture load — quiet
+    re-measurement showed the true engine ratio was ~1.2x)."""
+    from pg_telemetry_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            # count() touches every file's footer/row-group metadata
+            # without materializing rows driver-side
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+
 def _run_suite(
     spark, registry, names, sf_dir: str, mode: str, gc_between: bool = False
 ):
     """Returns (spark, timings) — the session may have been revived
     mid-leg, so callers must adopt the returned handle."""
+    _warm_fixtures(spark, sf_dir)
     _prebuild_incr_index(spark, names, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
@@ -380,9 +406,24 @@ def _run_suite(
             # the revived session lost the prebuilt warmth (disk index
             # survives; plan codegen does not) — re-pay it UNTIMED for
             # any prebuilt query still pending, so a revival can never
-            # bill prep into a later timed row (VERDICT r9 weak #1)
+            # bill prep into a later timed row (VERDICT r9 weak #1).
+            # Guarded: the prebuild itself can throw on a freshly
+            # revived session (plausible right after an executor/heap
+            # failure), and an escape here would kill the whole leg —
+            # record it and continue with cold timings instead.
             pending = [n for n in names if n not in timings]
-            _prebuild_incr_index(spark, pending, sf_dir)
+            try:
+                _warm_fixtures(spark, sf_dir)
+                _prebuild_incr_index(spark, pending, sf_dir)
+            except Exception as pex:
+                _FAILURES[f"{sf_dir}:_revival_prebuild"] = (
+                    f"{type(pex).__name__}: {str(pex)[:160]}"
+                )
+                print(
+                    f"BENCH revival prebuild failed [{sf_dir}]: "
+                    f"{type(pex).__name__} — continuing cold",
+                    file=sys.stderr,
+                )
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         if gc_between:
@@ -542,7 +583,8 @@ def main() -> None:
         # Measured r10: first-ever streaming op in a session costs
         # 3-9 s MORE than its steady-state repeat; r9's apparent
         # streaming "doubling" decomposed into exactly this + 2 new
-        # ops + machine drift (BASELINE.md round-10 section).
+        # ops + machine drift (BASELINE.md "Round 11" section carries
+        # the decomposition).
         if stream_names:
             run(registry["snk_foreachbatch"].fn(spark, stream_sf_dir))
         stream_timings: dict[str, float] = {}
@@ -598,10 +640,23 @@ def main() -> None:
     # Compact headline line LAST — after spark.stop() so shutdown logs
     # and console-progress stderr cannot land after it in the driver's
     # combined-output tail capture.
+    # Sweep-drift tripwire (VERDICT r10 #7): surface any op whose
+    # sf0.01 full-sweep time regressed >3x vs the previously committed
+    # sweep (tools/driver_sim.py writes the sidecar) — per-op coverage
+    # for the ~250 ops the driver's static 50-sample never gates.
+    regressions: list[str] = []
+    try:
+        regressions = json.loads(
+            (REPO / "SWEEP_TIMINGS.json").read_text()
+        ).get("regressions", [])
+    except Exception:
+        pass
+
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
+        "regressions": regressions,
         # INTEGER-second per-query values: at 73 names even 1-decimal
         # overflows the driver's ~2 KB tail window at worst-case
         # widths (measured 1987 chars vs 1841 integer); 3-decimal

@@ -129,6 +129,13 @@ CUMULATIVE_VIEWS: dict[str, tuple[list[str], list[str]]] = {
     "pg_stat_statements": (["queryid"], ["calls", "total_exec_time", "rows"]),
     "pg_stat_bgwriter": ([], ["checkpoints_timed", "buffers_checkpoint", "buffers_clean"]),
     "pg_stat_database": (["datname"], ["xact_commit", "blks_read", "blks_hit"]),
+    # per-relation views (round 11): counters only — the live/dead
+    # tuple columns are gauges and stay out of the increase() rollup
+    "pg_stat_user_tables": (
+        ["relname"],
+        ["seq_scan", "idx_scan", "n_tup_ins", "n_tup_upd", "n_tup_del", "autovacuum_count"],
+    ),
+    "pg_stat_user_indexes": (["relname", "indexrelname"], ["idx_scan"]),
 }
 
 
@@ -175,8 +182,18 @@ class StatViewCollector:
     sample seen), so batch N+1's first delta is computed against
     batch N's last sample — increases are NEVER lost or double-
     counted at batch boundaries, and a restart inside the gap still
-    triggers the reset rule.  Replays overwrite by batch_id
-    (idempotent), mirroring TelemetryCollector.
+    triggers the reset rule.
+
+    Exactly-once under replays: every output is VERSIONED BY BATCH —
+    raw and increase_1h overwrite ``batch_id=N`` dirs, and the state
+    table writes ``last_sample/batch_id=N`` derived from batch N-1's
+    state plus batch N's rows.  A micro-batch redelivered after a
+    crash (foreachBatch ran, checkpoint never committed) therefore
+    re-seeds from batch N-1's state and reproduces byte-identical
+    rollup output and state; nothing is advanced in place, so no
+    replay can compute deltas against its own first delivery.  Only
+    the two newest state versions are retained (availableNow
+    redelivers at most the last uncommitted batch).
     """
 
     spark: SparkSession
@@ -210,15 +227,43 @@ class StatViewCollector:
         finally:
             batch_df.unpersist()
 
+    def _state_batch_ids(self) -> list[int]:
+        """Batch ids with a written state version, via the Hadoop FS
+        API so the listing works on any warehouse filesystem (local,
+        HDFS, S3A), not just local paths."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._state_dir)
+        fs = path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(path):
+            return []
+        ids = []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                try:
+                    ids.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(ids)
+
     def _rollup(self, batch_df: DataFrame, batch_id: int) -> None:
         keys, counters = CUMULATIVE_VIEWS[self.view]
         cols = ["snap_ts", *keys, *counters]
         snaps = batch_df.select(*cols)
-        try:
-            prev = self.spark.read.parquet(self._state_dir).select(*cols)
+        # seed from the newest state version STRICTLY OLDER than this
+        # batch: a redelivered batch N must ignore the state its first
+        # delivery wrote (batch_id=N) and re-derive from N-1, or the
+        # replay would drop each series' first tick and emit a
+        # spurious zero-delta against its own rows
+        prior = [b for b in self._state_batch_ids() if b < batch_id]
+        if prior:
+            prev = self.spark.read.parquet(
+                f"{self._state_dir}/batch_id={prior[-1]}"
+            ).select(*cols)
             combined = prev.unionByName(snaps)
-        except Exception:  # first batch: no state yet
-            prev = None
+        else:  # first batch: no previous sample exists
             combined = snaps
         inc = counter_increases(combined, keys, counters)
         # only emit increases for ticks in THIS batch (the state rows
@@ -227,10 +272,10 @@ class StatViewCollector:
         inc.filter(F.col("snap_ts") >= lo).write.mode("overwrite").parquet(
             f"{self._rollup_dir}/batch_id={batch_id}"
         )
-        # advance the state: latest sample per series across old+new.
-        # Write via a staging dir: the new state derives from the old
-        # state's files, and overwrite-in-place would delete them
-        # mid-read at real scale.
+        # write THIS batch's state version: latest sample per series
+        # across seed+new.  Never overwrites an older version, so the
+        # old state stays readable mid-write at real scale and a
+        # replay of batch N rewrites batch_id=N byte-identically.
         from pyspark.sql import Window
 
         w = (
@@ -243,11 +288,22 @@ class StatViewCollector:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        staged = f"{self._state_dir}_staging"
-        latest.write.mode("overwrite").parquet(staged)
-        self.spark.read.parquet(staged).write.mode("overwrite").parquet(
-            self._state_dir
+        latest.write.mode("overwrite").parquet(
+            f"{self._state_dir}/batch_id={batch_id}"
         )
+        # retain only {N-1, N}: availableNow redelivers at most the
+        # last uncommitted batch, so anything older is unreachable
+        jvm = self.spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(self._state_dir).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        for stale in [b for b in prior[:-1]]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self._state_dir}/batch_id={stale}"
+                ),
+                True,
+            )
 
     def run_available(self) -> None:
         stream = self.spark.readStream.schema(self.schema).parquet(

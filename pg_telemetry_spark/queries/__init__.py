@@ -20,6 +20,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     nulls,
     patterns,
     relational,
+    relstat_views,
     enrich_ext,
     scalars,
     selection_ext,

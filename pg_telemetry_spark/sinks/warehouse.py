@@ -73,8 +73,12 @@ class JdbcWarehouseSink:
 
     def prepare_batch(self, df: DataFrame, batch_id: int) -> DataFrame:
         """Stamp the idempotence key; shared by write_batch and the
-        contract test so the tested shape IS the shipped shape."""
-        return df.withColumn("batch_id", F.lit(batch_id))
+        contract test so the tested shape IS the shipped shape.  The
+        cast pins the wire type: F.lit alone yields IntegerType for
+        small ids but LongType past 2^31, so a long-running stream
+        would otherwise drift its emitted schema away from the DDL's
+        fixed Int64 version column."""
+        return df.withColumn("batch_id", F.lit(batch_id).cast("long"))
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         cfg = self.writer_config()
@@ -112,7 +116,30 @@ def clickhouse_ddl(
     the warehouse-side half of the exactly-once contract
     (collector-side half: overwrite-by-batch_id).  Emitted from the
     Spark StructType so schema drift between the stream and the DDL
-    is impossible; goldens in tests/test_sinks.py pin the rendering."""
+    is impossible; goldens in tests/test_sinks.py pin the rendering.
+
+    Two hard requirements on ``order_by``:
+
+    - **Uniqueness.** ReplacingMergeTree keeps ONE row per sorting
+      key at merge time — if ``order_by`` does not uniquely identify
+      a logical row, distinct legitimate rows sharing the key silently
+      collapse (max version wins).  Callers must include a unique row
+      key (``event_id``; or the full series key like
+      ``(queryid, snap_ts)``) — replay dedup is only safe on top of
+      that.
+    - **Non-nullability.** ClickHouse rejects Nullable columns in the
+      sorting key by default (``allow_nullable_keys = 0``), so key
+      columns are emitted non-Nullable regardless of the Spark-side
+      nullable flag: a key value must be present for the row to be
+      addressable at all, which is the same contract the stream
+      upholds by construction.
+    """
+    key_set = set(order_by)
+    missing = key_set - {f.name for f in schema.fields} - {version_col}
+    if missing:
+        raise ValueError(
+            f"order_by columns not in schema: {sorted(missing)}"
+        )
     cols = []
     for f in schema.fields:
         ch = _CLICKHOUSE_TYPES.get(f.dataType.simpleString())
@@ -121,7 +148,8 @@ def clickhouse_ddl(
                 f"no ClickHouse mapping for column {f.name}: "
                 f"{f.dataType.simpleString()}"
             )
-        cols.append(f"    `{f.name}` {'Nullable(' + ch + ')' if f.nullable else ch}")
+        nullable = f.nullable and f.name not in key_set
+        cols.append(f"    `{f.name}` {'Nullable(' + ch + ')' if nullable else ch}")
     cols.append(f"    `{version_col}` Int64")
     body = ",\n".join(cols)
     keys = ", ".join(f"`{c}`" for c in order_by)

@@ -104,6 +104,44 @@ PG_STAT_ACTIVITY = T.StructType(
     ]
 )
 
+#: pg_stat_user_tables: per table — cumulative scan/tuple counters
+#: plus the live/dead tuple GAUGES and the autovacuum counter (§0.1's
+#: last undeclared per-relation view; previously only a JDBC
+#: partition-column hint in sources/jdbc_pg.py).
+PG_STAT_USER_TABLES = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("relname", T.StringType()),
+        T.StructField("seq_scan", T.LongType()),
+        T.StructField("idx_scan", T.LongType()),
+        T.StructField("n_tup_ins", T.LongType()),
+        T.StructField("n_tup_upd", T.LongType()),
+        T.StructField("n_tup_del", T.LongType()),
+        T.StructField("n_live_tup", T.LongType()),  # gauge
+        T.StructField("n_dead_tup", T.LongType()),  # gauge
+        T.StructField("autovacuum_count", T.LongType()),
+    ]
+)
+
+#: pg_stat_user_indexes: per (table, index), cumulative scan counter.
+PG_STAT_USER_INDEXES = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("relname", T.StringType()),
+        T.StructField("indexrelname", T.StringType()),
+        T.StructField("idx_scan", T.LongType()),
+    ]
+)
+
+#: pg_total_relation_size sampled per tick: a monotone size gauge.
+PG_RELATION_SIZE = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("relname", T.StringType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
 SCHEMAS: dict[str, T.StructType] = {
     "pg_stat_statements": PG_STAT_STATEMENTS,
     "pg_locks": PG_LOCKS,
@@ -111,6 +149,9 @@ SCHEMAS: dict[str, T.StructType] = {
     "pg_stat_replication": PG_STAT_REPLICATION,
     "pg_stat_database": PG_STAT_DATABASE,
     "pg_stat_activity": PG_STAT_ACTIVITY,
+    "pg_stat_user_tables": PG_STAT_USER_TABLES,
+    "pg_stat_user_indexes": PG_STAT_USER_INDEXES,
+    "pg_relation_size": PG_RELATION_SIZE,
 }
 
 #: Counter wrap level for the synthetic restarts (statements view):
@@ -386,6 +427,198 @@ FROM {ev}
 """
 
 
+def derive_user_tables(events: DataFrame) -> DataFrame:
+    """pg_stat_user_tables snapshots: 8 tables (user_id %% 8), one
+    row per (relname, hour).  Every event is an insert; residues of
+    event_id mark updates (1/3), deletes (1/7), and the seq-vs-idx
+    scan split (1/5 seq).  Cumulative counters are integer prefix
+    sums (exact — no float order anywhere); the live-tuple gauge is
+    inserts-minus-deletes; the dead-tuple gauge accumulates
+    upd+del and is zeroed by an autovacuum every 6th tick per table
+    (vac_epoch = floor((tick-1)/6)), which also drives the cumulative
+    autovacuum_count — so downstream bloat analytics see the
+    sawtooth a real autovacuum produces."""
+    hourly = (
+        events.select(
+            F.concat(F.lit("tbl_"), (F.col("user_id") % 8)).alias("relname"),
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            (F.col("event_id") % 3 == 0).cast("long").alias("is_upd"),
+            (F.col("event_id") % 7 == 0).cast("long").alias("is_del"),
+            (F.col("event_id") % 5 == 0).cast("long").alias("is_seq"),
+        )
+        .groupBy("relname", "snap_ts")
+        .agg(
+            F.count("*").alias("d_ins"),
+            F.sum("is_upd").alias("d_upd"),
+            F.sum("is_del").alias("d_del"),
+            F.sum("is_seq").alias("d_seq"),
+            (F.count("*") - F.sum("is_seq")).alias("d_idx"),
+        )
+    )
+    w = Window.partitionBy("relname").orderBy("snap_ts")
+    staged = hourly.select(
+        "relname",
+        "snap_ts",
+        (F.col("d_upd") + F.col("d_del")).alias("d_dead"),
+        F.sum("d_seq").over(w).alias("seq_scan"),
+        F.sum("d_idx").over(w).alias("idx_scan"),
+        F.sum("d_ins").over(w).alias("n_tup_ins"),
+        F.sum("d_upd").over(w).alias("n_tup_upd"),
+        F.sum("d_del").over(w).alias("n_tup_del"),
+        (F.sum("d_ins").over(w) - F.sum("d_del").over(w)).alias("n_live_tup"),
+        F.floor((F.row_number().over(w) - 1) / 6)
+        .cast("long")
+        .alias("vac_epoch"),
+    )
+    wv = Window.partitionBy("relname", "vac_epoch").orderBy("snap_ts")
+    return staged.select(
+        "snap_ts",
+        "relname",
+        "seq_scan",
+        "idx_scan",
+        "n_tup_ins",
+        "n_tup_upd",
+        "n_tup_del",
+        "n_live_tup",
+        F.sum("d_dead").over(wv).alias("n_dead_tup"),
+        F.col("vac_epoch").alias("autovacuum_count"),
+    )
+
+
+USER_TABLES_SQL = """
+WITH ut_hourly AS (
+  SELECT 'tbl_' || CAST(user_id % 8 AS VARCHAR) AS relname,
+         date_trunc('hour', ts) AS snap_ts,
+         count(*) AS d_ins,
+         sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS d_upd,
+         sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS d_del,
+         sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS d_seq,
+         count(*) - sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS d_idx
+  FROM {ev} GROUP BY 1, 2
+),
+ut_staged AS (
+  SELECT relname, snap_ts, d_upd + d_del AS d_dead,
+         CAST(sum(d_seq) OVER w AS BIGINT) AS seq_scan,
+         CAST(sum(d_idx) OVER w AS BIGINT) AS idx_scan,
+         CAST(sum(d_ins) OVER w AS BIGINT) AS n_tup_ins,
+         CAST(sum(d_upd) OVER w AS BIGINT) AS n_tup_upd,
+         CAST(sum(d_del) OVER w AS BIGINT) AS n_tup_del,
+         CAST(sum(d_ins) OVER w - sum(d_del) OVER w AS BIGINT) AS n_live_tup,
+         CAST(floor((row_number() OVER w - 1) / 6.0) AS BIGINT) AS vac_epoch
+  FROM ut_hourly
+  WINDOW w AS (PARTITION BY relname ORDER BY snap_ts)
+)
+SELECT snap_ts, relname, seq_scan, idx_scan, n_tup_ins, n_tup_upd,
+       n_tup_del, n_live_tup,
+       CAST(sum(d_dead) OVER (PARTITION BY relname, vac_epoch
+                              ORDER BY snap_ts) AS BIGINT) AS n_dead_tup,
+       vac_epoch AS autovacuum_count
+FROM ut_staged
+"""
+
+
+def derive_user_indexes(events: DataFrame) -> DataFrame:
+    """pg_stat_user_indexes snapshots: 16 indexes (user_id %% 16),
+    two per table (idx %% 8 joins back to its relname), one row per
+    (index, hour).  Scan traffic is tiered deterministically — busy
+    (idx 0-7: every event scans), rare (idx 8-11: ~3%%, event_id %%
+    29), and NEVER SCANNED (idx 12-15: flat counter) — so the
+    unused-index report has true positives at every fixture scale.
+    Cumulative idx_scan is an integer prefix sum per index."""
+    hourly = (
+        events.select(
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            F.concat(F.lit("idx_"), (F.col("user_id") % 16)).alias(
+                "indexrelname"
+            ),
+            F.concat(F.lit("tbl_"), ((F.col("user_id") % 16) % 8)).alias(
+                "relname"
+            ),
+            F.when(F.col("user_id") % 16 >= 12, F.lit(0))
+            .when(
+                F.col("user_id") % 16 >= 8,
+                (F.col("event_id") % 29 == 0).cast("long"),
+            )
+            .otherwise(F.lit(1))
+            .alias("is_scan"),
+        )
+        .groupBy("snap_ts", "indexrelname", "relname")
+        .agg(F.sum("is_scan").alias("d_scan"))
+    )
+    w = Window.partitionBy("indexrelname").orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        "relname",
+        "indexrelname",
+        F.sum("d_scan").over(w).alias("idx_scan"),
+    )
+
+
+USER_INDEXES_SQL = """
+WITH ui_hourly AS (
+  SELECT date_trunc('hour', ts) AS snap_ts,
+         'idx_' || CAST(user_id % 16 AS VARCHAR) AS indexrelname,
+         'tbl_' || CAST((user_id % 16) % 8 AS VARCHAR) AS relname,
+         sum(CASE WHEN user_id % 16 >= 12 THEN 0
+                  WHEN user_id % 16 >= 8 THEN
+                    CASE WHEN event_id % 29 = 0 THEN 1 ELSE 0 END
+                  ELSE 1 END) AS d_scan
+  FROM {ev} GROUP BY 1, 2, 3
+)
+SELECT snap_ts, relname, indexrelname,
+       CAST(sum(d_scan) OVER (PARTITION BY indexrelname
+                              ORDER BY snap_ts) AS BIGINT) AS idx_scan
+FROM ui_hourly
+"""
+
+
+def derive_relation_size(events: DataFrame) -> DataFrame:
+    """pg_total_relation_size sampled per tick: 8 tables, one row per
+    (relname, hour); total_bytes = 8 KiB base + 128 B per inserted
+    row + 64 B per floor(value*13) unit — a monotone integer gauge
+    whose growth rate varies by table and hour, so growth-rate
+    analytics have real signal.  All-integer prefix sums: exact."""
+    hourly = (
+        events.select(
+            F.concat(F.lit("tbl_"), (F.col("user_id") % 8)).alias("relname"),
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 13)
+            .cast("long")
+            .alias("v13"),
+        )
+        .groupBy("relname", "snap_ts")
+        .agg(F.count("*").alias("d_rows"), F.sum("v13").alias("d_v"))
+    )
+    w = Window.partitionBy("relname").orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        "relname",
+        (
+            F.lit(8192)
+            + F.lit(128) * F.sum("d_rows").over(w)
+            + F.lit(64) * F.sum("d_v").over(w)
+        )
+        .cast("long")
+        .alias("total_bytes"),
+    )
+
+
+RELATION_SIZE_SQL = """
+WITH rs_hourly AS (
+  SELECT 'tbl_' || CAST(user_id % 8 AS VARCHAR) AS relname,
+         date_trunc('hour', ts) AS snap_ts,
+         count(*) AS d_rows,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 13) AS BIGINT)) AS d_v
+  FROM {ev} GROUP BY 1, 2
+)
+SELECT snap_ts, relname,
+       CAST(8192 + 128 * sum(d_rows) OVER w
+                 + 64 * sum(d_v) OVER w AS BIGINT) AS total_bytes
+FROM rs_hourly
+WINDOW w AS (PARTITION BY relname ORDER BY snap_ts)
+"""
+
+
 DERIVATIONS = {
     "pg_stat_statements": derive_stat_statements,
     "pg_locks": derive_locks,
@@ -393,4 +626,7 @@ DERIVATIONS = {
     "pg_stat_replication": derive_replication,
     "pg_stat_database": derive_stat_database,
     "pg_stat_activity": derive_stat_activity,
+    "pg_stat_user_tables": derive_user_tables,
+    "pg_stat_user_indexes": derive_user_indexes,
+    "pg_relation_size": derive_relation_size,
 }

@@ -69,21 +69,47 @@ def test_collector_end_to_end(spark, sf_dir):
     assert c.raw().count() == expected_total - day1.count()
 
 
-def test_stat_view_collector_statements_end_to_end(spark, sf_dir):
-    """Typed pg_stat_statements landing -> raw + cross-batch
-    increase() rollup: batch boundaries must not lose or double-count
-    increases, replays must be idempotent, and counter resets (the
-    derivation wraps its cumulative counters) must contribute the
-    post-reset level."""
+def _round6(v):
+    return round(v, 6) if isinstance(v, float) else v
+
+
+def _view_cases():
+    from pg_telemetry_spark.collector import CUMULATIVE_VIEWS
+    from pg_telemetry_spark import statviews
+
+    return [
+        (view, statviews.DERIVATIONS[view], keys, counters)
+        for view, (keys, counters) in sorted(CUMULATIVE_VIEWS.items())
+    ]
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "view,derive,keys,counters",
+    _view_cases(),
+    ids=[c[0] for c in _view_cases()],
+)
+def test_stat_view_collector_end_to_end(spark, sf_dir, view, derive, keys, counters):
+    """Typed stat-view landing -> raw + cross-batch increase()
+    rollup, parameterized over EVERY cumulative view (VERDICT r10 #6:
+    pg_stat_bgwriter's empty-key global series and pg_stat_database's
+    multi-series path ride the same code as pg_stat_statements but
+    were untested across batch boundaries).  Checks: batch boundaries
+    neither lose nor double-count increases, a no-new-data replay is a
+    no-op, counter resets contribute the post-reset level, and a
+    REDELIVERED micro-batch (foreachBatch ran, checkpoint never
+    committed — the crash window) reproduces byte-identical rollup
+    output instead of advancing state twice."""
     import pathlib
     import tempfile
 
     from pg_telemetry_spark.collector import StatViewCollector, counter_increases
-    from pg_telemetry_spark.statviews import derive_stat_statements
     from pg_telemetry_spark.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="pgts_statview_")
-    snaps = derive_stat_statements(load_table(spark, sf_dir, "events")).persist()
+    base = tempfile.mkdtemp(prefix=f"pgts_statview_{view}_")
+    snaps = derive(load_table(spark, sf_dir, "events")).persist()
     days = sorted(
         r[0].isoformat()
         for r in snaps.select(F.col("snap_ts").cast("date")).distinct().collect()
@@ -93,7 +119,7 @@ def test_stat_view_collector_statements_end_to_end(spark, sf_dir):
 
     c = StatViewCollector(
         spark,
-        view="pg_stat_statements",
+        view=view,
         landing_dir=f"{base}/landing",
         warehouse_dir=f"{base}/warehouse",
         checkpoint_dir=f"{base}/ckpt",
@@ -112,20 +138,39 @@ def test_stat_view_collector_statements_end_to_end(spark, sf_dir):
 
     # the batched rollup equals one direct pass over ALL snapshots —
     # cross-batch continuity + reset rule in one equality
-    keycols = ("snap_ts", "queryid")
-    direct = {
-        tuple(r[k] for k in keycols): (r.calls_inc, round(r.total_exec_time_inc, 6))
-        for r in counter_increases(
-            snaps, ["queryid"], ["calls", "total_exec_time", "rows"]
-        ).collect()
-    }
-    served = {
-        tuple(r[k] for k in keycols): (r.calls_inc, round(r.total_exec_time_inc, 6))
-        for r in c.increases().collect()
-    }
-    assert served == direct
-    # the wrap in the derivation guarantees at least one reset at
-    # sf0.01+; the reset tick's increase must be the post-reset level
-    # (never negative)
-    assert all(v[0] >= 0 for v in direct.values())
+    inc_cols = [f"{cname}_inc" for cname in counters]
+
+    def as_dict(df):
+        return {
+            tuple(r[k] for k in ("snap_ts", *keys)): tuple(
+                _round6(r[ic]) for ic in inc_cols
+            )
+            for r in df.collect()
+        }
+
+    direct = as_dict(counter_increases(snaps, keys, counters))
+    assert as_dict(c.increases()) == direct
+    # the wrap/derivation guarantees monotone series with at least one
+    # reset for statements at sf0.01+; increases are never negative
+    assert all(v[0] >= 0 for v in direct.values() if v[0] is not None)
+
+    # crash-window redelivery: re-run _ship with the LAST batch's id
+    # and rows (exactly what foreachBatch does when the checkpoint
+    # didn't commit).  The versioned state must make this reproduce
+    # identical increases — before the fix, state had already advanced
+    # and the replay dropped first ticks / emitted zero-delta rows.
+    last_bid = max(
+        int(p.name.split("=", 1)[1])
+        for p in pathlib.Path(f"{base}/warehouse/{view}/increase_1h").glob(
+            "batch_id=*"
+        )
+    )
+    redelivered = (
+        spark.read.schema(c.schema)
+        .parquet(f"{base}/landing")
+        .filter(F.col("snap_ts").cast("date") >= cut)
+    )
+    c._ship(redelivered, last_bid)
+    assert as_dict(c.increases()) == direct
+    assert c.raw().count() == snaps.count()
     snaps.unpersist()

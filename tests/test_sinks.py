@@ -42,37 +42,56 @@ def test_jdbc_sink_batch_schema_golden(spark):
         ("user_id", "bigint"),
         ("event_type", "string"),
         ("value", "double"),
-        ("batch_id", "int"),
+        # long, not int: the wire type must not drift when the
+        # streaming batch id passes 2^31, and must match the DDL's
+        # fixed Int64 version column
+        ("batch_id", "bigint"),
     ]
 
 
 def test_clickhouse_ddl_events_golden():
+    # order_by includes event_id: ReplacingMergeTree keeps ONE row per
+    # sorting key, so a non-unique key (user_id, ts alone) would
+    # silently collapse distinct events sharing a timestamp; key
+    # columns render non-Nullable (allow_nullable_keys=0 default)
     assert clickhouse_ddl(
-        COLLECT_SCHEMA, "telemetry.events_raw", order_by=("user_id", "ts")
+        COLLECT_SCHEMA,
+        "telemetry.events_raw",
+        order_by=("user_id", "ts", "event_id"),
     ) == (
         "CREATE TABLE IF NOT EXISTS telemetry.events_raw (\n"
-        "    `event_id` Nullable(Int64),\n"
-        "    `ts` Nullable(DateTime64(6)),\n"
-        "    `user_id` Nullable(Int64),\n"
+        "    `event_id` Int64,\n"
+        "    `ts` DateTime64(6),\n"
+        "    `user_id` Int64,\n"
         "    `event_type` Nullable(String),\n"
         "    `value` Nullable(Float64),\n"
         "    `batch_id` Int64\n"
         ")\n"
         "ENGINE = ReplacingMergeTree(`batch_id`)\n"
-        "ORDER BY (`user_id`, `ts`)"
+        "ORDER BY (`user_id`, `ts`, `event_id`)"
     )
 
 
 def test_clickhouse_ddl_stat_statements_golden():
+    # (queryid, snap_ts) IS the full series key of this view — unique
+    # per row — so replay dedup cannot lose legitimate rows
     ddl = clickhouse_ddl(
         PG_STAT_STATEMENTS,
         "telemetry.pg_stat_statements",
         order_by=("queryid", "snap_ts"),
     )
-    assert "`queryid` Nullable(Int64)" in ddl
+    assert "`queryid` Int64" in ddl
+    assert "`snap_ts` DateTime64(6)" in ddl
     assert "`total_exec_time` Nullable(Float64)" in ddl
     assert "ENGINE = ReplacingMergeTree(`batch_id`)" in ddl
     assert "ORDER BY (`queryid`, `snap_ts`)" in ddl
+
+
+def test_clickhouse_ddl_rejects_unknown_key_columns():
+    import pytest
+
+    with pytest.raises(ValueError, match="order_by columns not in schema"):
+        clickhouse_ddl(COLLECT_SCHEMA, "t", order_by=("user_id", "nope"))
 
 
 def test_clickhouse_ddl_rejects_unmapped_types(spark):

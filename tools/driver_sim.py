@@ -110,4 +110,38 @@ print(f"T2: {ok} ok, {bad} mismatched, total {time.perf_counter() - t_start:.1f}
 with open(OUT, "w") as f:
     json.dump(results, f, indent=2)
 print("wrote", OUT)
+
+# Per-op sweep-timing sidecar (VERDICT r10 #7): the driver's 50-op
+# sample never rotates, so the other ~250 ops need a drift tripwire
+# that travels in a driver-facing artifact.  Full default-scale sweeps
+# persist their per-op timings; each write compares against the
+# previously committed sidecar (normally last round's) and records any
+# op >3x slower AND >=1s now — bench.py lifts `regressions` into its
+# compact driver line.  Decade sweeps / filtered runs don't overwrite
+# the gate-scale record.
+if not _only and SF == "/root/testdata/sf0.01":
+    import os.path as _osp
+
+    side = "/root/repo/SWEEP_TIMINGS.json"
+    prev = {}
+    if _osp.exists(side):
+        try:
+            prev = json.load(open(side)).get("timings", {})
+        except Exception:
+            prev = {}
+    cur = {n: round(t, 3) for n, t in timings.items()}
+    regressions = sorted(
+        n
+        for n, t in cur.items()
+        if n in prev and prev[n] > 0 and t >= 1.0 and t / prev[n] > 3.0
+    )
+    with open(side, "w") as f:
+        json.dump(
+            {"sf_dir": SF, "timings": cur, "regressions": regressions},
+            f,
+            indent=1,
+        )
+    if regressions:
+        print("SWEEP REGRESSIONS (>3x vs previous sweep):", regressions)
+    print("wrote", side)
 sys.exit(1 if bad else 0)
