@@ -214,9 +214,22 @@ def near_duplicates(
     est = F.size(
         F.filter(F.zip_with("mh1", "mh2", lambda a, b: a == b), lambda x: x)
     ) / F.lit(num_perm)
+    # BROADCAST the signature side of both prefilter joins (round 11):
+    # with shuffle joins the second join re-exchanges the candidate
+    # stream WITH the first side's 64-long array attached — at the
+    # sf10 decade that is 139M candidate pairs x ~530 B = a ~73 GB
+    # exchange carrying data the est-filter immediately discards
+    # (measured: the prefilter stage alone took ~50 s quiet, and the
+    # op ~305 s cold).  Broadcasting the compact signature table
+    # (num_perm longs/doc — ~300 MB at 571k docs) lets the candidate
+    # stream flow through BOTH joins with no exchange at all.  At
+    # true warehouse scale the signature table outgrows broadcast;
+    # there the corpus is indexed once (lsh_index) and deltas take
+    # incremental_near_duplicates, whose probe prunes signatures to
+    # candidate ids before this same broadcast.
     prefiltered = (
-        cands.join(m1, "id1")
-        .join(m2, "id2")
+        cands.join(F.broadcast(m1), "id1")
+        .join(F.broadcast(m2), "id2")
         .filter(est >= est_threshold)
         .select("id1", "id2")
     )
@@ -444,42 +457,76 @@ def incremental_near_duplicates(
     )
     bids = F.broadcast(pair_ids)
 
-    # FUSED verify (r9, VERDICT r8 #5): semi-prune signatures AND
-    # shingles to the O(collisions) candidate ids (the full tables
-    # stream past the broadcast id set — no exchange over the index),
-    # then join the two PRUNED tables on id into one (id, mh,
-    # shingle_hashes) row set, so the pair expansion is TWO equi-joins
-    # (id1 side, id2 side) instead of the four the split
-    # prefilter/verify stages ran.  The estimate prefilter survives as
-    # a sequential predicate inside the same codegen stage: est >=
-    # threshold-0.15 evaluates before the exact set ops, so low-J
-    # noise pairs still skip array_intersect/array_union without
-    # paying two extra joins for the privilege.
+    # TWO-PHASE verify (round 11).  Round 9 fused the signature
+    # prefilter and the exact-Jaccard verify into one join pass so
+    # every candidate row carried BOTH the 64-long signature and the
+    # ~1000-long shingle array of each side; at the sf10 decade that
+    # shipped the fat shingle arrays for the ~99% of candidates the
+    # est-prefilter exists to discard (measured: warm probe 284 s on a
+    # quiet box, 26x over sf1 — pure array-shipping volume, since the
+    # candidate count itself grows with bucket occupancy).  The split
+    # shape joins candidates to the PRUNED signature table first
+    # (64 longs/side), drops low-J noise, and only then joins the
+    # shingle arrays for the est-survivors — O(true pairs), not
+    # O(collisions), rows carry the fat arrays.
     est_threshold = max(threshold - 0.15, 0.0)
     all_sigs = index_signatures.unionByName(sg_new)
-    sig_pruned = all_sigs.join(bids, id_col, "left_semi")
-    all_shingles = index_shingles.unionByName(sh_new)
-    sh_pruned = all_shingles.join(bids, id_col, "left_semi")
-    pruned = _p(sig_pruned.join(sh_pruned, id_col))
-    r1 = pruned.select(
-        F.col(id_col).alias("id1"),
-        F.col("mh").alias("mh1"),
-        F.col("shingle_hashes").alias("sh1"),
-    )
-    r2 = pruned.select(
-        F.col(id_col).alias("id2"),
-        F.col("mh").alias("mh2"),
-        F.col("shingle_hashes").alias("sh2"),
-    )
+    sig_pruned = _p(all_sigs.join(bids, id_col, "left_semi"))
     est = F.size(
         F.filter(F.zip_with("mh1", "mh2", lambda a, b: a == b), lambda x: x)
     ) / F.lit(num_perm)
+    # Broadcast the (candidate-id-pruned) signature table on both
+    # joins: the candidate stream then meets the 64-long arrays in two
+    # back-to-back BroadcastHashJoins with no exchange carrying the
+    # arrays (same rationale and measurement as near_duplicates).
+    survivors = (
+        cands.join(
+            F.broadcast(
+                sig_pruned.select(
+                    F.col(id_col).alias("id1"), F.col("mh").alias("mh1")
+                )
+            ),
+            "id1",
+        )
+        .join(
+            F.broadcast(
+                sig_pruned.select(
+                    F.col(id_col).alias("id2"), F.col("mh").alias("mh2")
+                )
+            ),
+            "id2",
+        )
+        .filter(est >= est_threshold)
+        .select("id1", "id2")
+    )
+    # two consumers (the sids broadcast below and the final pair join)
+    # — without a persist the whole candidate+prefilter subplan would
+    # execute twice
+    survivors = _p(survivors)
+    # est-survivor ids are O(true pairs): prune the fat shingle tables
+    # to THEM (not to all candidate ids) before the exact set ops.
+    sids = F.broadcast(
+        survivors.select(F.col("id1").alias(id_col))
+        .unionByName(survivors.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    all_shingles = index_shingles.unionByName(sh_new)
+    sh_pruned = _p(all_shingles.join(sids, id_col, "left_semi"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     pairs = (
-        cands.join(r1, "id1")
-        .join(r2, "id2")
-        .filter(est >= est_threshold)
+        survivors.join(
+            sh_pruned.select(
+                F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1")
+            ),
+            "id1",
+        )
+        .join(
+            sh_pruned.select(
+                F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2")
+            ),
+            "id2",
+        )
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")

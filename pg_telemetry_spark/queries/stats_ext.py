@@ -425,35 +425,78 @@ GROUP BY l_returnflag
 """,
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted median price per return flag: cumulative
-    exact-decimal weight in a totally-ordered window (price + orderkey
-    + linenumber tiebreak), median = price of the first row whose
-    doubled cumulative weight reaches the flag total.  Decimal
-    accumulation makes the boundary comparison exact — no float
-    cumsum drift can flip the picked row.
+    """Quantity-weighted median price per return flag, as a TWO-LEVEL
+    prefix sum: the median is the price of the first row (in
+    price + orderkey + linenumber order) whose doubled cumulative
+    weight reaches the flag total.  Decimal accumulation keeps the
+    boundary comparison exact — no float cumsum drift can flip the
+    picked row.
 
-    Scale shape: one window sort per flag partition plus a
-    partition-total window over the same sort (single exchange); the
-    boundary filter and min-reduce are narrow.  At 100 TB the flag
-    partitions are few and fat — range-partition within flag by price
-    and turn the cumsum into a two-level prefix sum."""
+    Scale shape (round 11): the naive form — one window cumsum
+    partitioned by flag — serializes each flag's ENTIRE partition
+    through a single task sort (3 flags = 3 tasks no matter the
+    cluster; measured 87 s at the sf10 decade, 12.7x over sf1).  The
+    rewrite buckets price into coarse cells, aggregates per-cell
+    weight map-side (small shuffle), runs the window over the TINY
+    per-cell table to locate the one cell per flag that straddles the
+    half-weight boundary, then broadcast-joins that boundary back and
+    sorts ONLY the straddling cell's rows (~1/nbuckets of the data)
+    for the exact within-cell pick.  Every heavy stage is now
+    parallel: partial agg + one small window + one narrow filtered
+    window.  Equivalence: rows in cells before the boundary cell all
+    have 2*cum < tot, rows after all qualify but carry higher prices,
+    so the min-qualifying price always lives in the boundary cell."""
     li = load_table(spark, sf_dir, "lineitem")
-    ws = Window.partitionBy("l_returnflag").orderBy(
+    dec_q = F.col("l_quantity").cast("decimal(18,6)")
+    # ~100-unit price cells: l_extendedprice spans ~[900, 105000], so
+    # ~1000 cells/flag — the per-cell table is thousands of rows.
+    cell = F.floor(F.col("l_extendedprice") / F.lit(100.0)).alias("cell")
+    base = li.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        dec_q.alias("w"), cell,
+    )
+    cells = base.groupBy("l_returnflag", "cell").agg(
+        F.sum("w").alias("cw")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("cell")
+    marked = cells.select(
+        "l_returnflag",
+        "cell",
+        (
+            F.sum("cw").over(
+                wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("cw")
+        ).alias("offset"),
+        F.sum("cw").over(Window.partitionBy("l_returnflag")).alias("totw"),
+        F.sum("cw").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_end"),
+    )
+    # the boundary cell: first cell whose end-cumulative reaches half
+    boundary = marked.filter(
+        (2 * F.col("cum_end") >= F.col("totw"))
+        & (2 * F.col("offset") < F.col("totw"))
+    ).select("l_returnflag", "cell", "offset", "totw")
+    ww = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    dec_q = F.col("l_quantity").cast("decimal(18,6)")
-    ordered = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum(dec_q)
-        .over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cumw"),
-        F.sum(dec_q)
-        .over(Window.partitionBy("l_returnflag"))
-        .alias("totw"),
+    inside = (
+        base.join(F.broadcast(boundary), ["l_returnflag", "cell"])
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "totw",
+            (
+                F.col("offset")
+                + F.sum("w").over(
+                    ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            ).alias("cumw"),
+        )
     )
     return (
-        ordered.filter(2 * F.col("cumw") >= F.col("totw"))
+        inside.filter(2 * F.col("cumw") >= F.col("totw"))
         .groupBy("l_returnflag")
         .agg(
             F.min("l_extendedprice").alias("weighted_median"),
