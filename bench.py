@@ -344,7 +344,7 @@ def _prebuild_incr_index(spark, names, sf_dir: str) -> None:
     # into the timed probe — r9's 17.8 s driver-facing read against a
     # 4.7 s measured probe was exactly that.  One untimed probe run
     # here additionally pre-pays the per-session plan compilation
-    # (whole-stage codegen of the fused verify stage, ~3-4 s once):
+    # (whole-stage codegen of the two-phase verify stages, ~3-4 s once):
     # continuous ingest runs the SAME probe plan every batch, so the
     # steady-state per-delta cost is the honest recurring number; the
     # cold-first-probe cost is recorded in BASELINE.md alongside it.
