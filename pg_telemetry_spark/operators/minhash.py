@@ -499,19 +499,14 @@ def incremental_near_duplicates(
         .filter(est >= est_threshold)
         .select("id1", "id2")
     )
-    # two consumers (the sids broadcast below and the final pair join)
-    # — without a persist the whole candidate+prefilter subplan would
-    # execute twice
-    survivors = _p(survivors)
-    # est-survivor ids are O(true pairs): prune the fat shingle tables
-    # to THEM (not to all candidate ids) before the exact set ops.
-    sids = F.broadcast(
-        survivors.select(F.col("id1").alias(id_col))
-        .unionByName(survivors.select(F.col("id2").alias(id_col)))
-        .distinct()
-    )
+    # Prune the fat shingle tables with the ALREADY-BROADCAST candidate
+    # id set (bids): reusing it costs nothing extra and keeps the
+    # shingle prune independent of the survivor computation (a
+    # survivor-id prune would be tighter but adds a blocking broadcast
+    # subjob + a survivors persist — measured ~3 s of pure barrier
+    # latency per probe at sf0.1 for a second-order byte saving).
     all_shingles = index_shingles.unionByName(sh_new)
-    sh_pruned = _p(all_shingles.join(sids, id_col, "left_semi"))
+    sh_pruned = _p(all_shingles.join(bids, id_col, "left_semi"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     pairs = (
