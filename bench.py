@@ -304,6 +304,11 @@ HEADLINE = [
     "pgw_seq_idx_mix",
     "pgw_unused_indexes",
     "pgw_relation_growth",
+    # round-11b: I/O + WAL stat views
+    "pgw_io_by_backend",
+    "pgw_wal_rate",
+    "pgw_archiver_health",
+    "pgw_statio_hit_by_table",
 ]
 
 

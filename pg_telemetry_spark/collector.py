@@ -136,6 +136,18 @@ CUMULATIVE_VIEWS: dict[str, tuple[list[str], list[str]]] = {
         ["seq_scan", "idx_scan", "n_tup_ins", "n_tup_upd", "n_tup_del", "autovacuum_count"],
     ),
     "pg_stat_user_indexes": (["relname", "indexrelname"], ["idx_scan"]),
+    # I/O + WAL surface (this round): wal_bytes WRAPS by construction,
+    # so its increase() exercises the reset branch end-to-end
+    "pg_stat_io": (
+        ["backend_type", "io_context"],
+        ["reads", "writes", "extends"],
+    ),
+    "pg_stat_wal": ([], ["wal_records", "wal_bytes", "wal_buffers_full"]),
+    "pg_stat_archiver": ([], ["archived_count", "failed_count"]),
+    "pg_statio_user_tables": (
+        ["relname"],
+        ["heap_blks_read", "heap_blks_hit", "idx_blks_read", "idx_blks_hit"],
+    ),
 }
 
 

@@ -13,6 +13,7 @@ from pg_telemetry_spark.queries import (  # noqa: F401
     dataeng,
     flagship,
     graph_ops,
+    iostat_views,
     joins,
     llm,
     mixture,

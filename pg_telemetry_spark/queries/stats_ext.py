@@ -328,16 +328,10 @@ def wl_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return (
-        m.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb"))
-            ),
-        )
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-20, merged on the driver) — a global row_number window here
+    # would serialize EVERY qualifying pair through one task's sort
+    return m.orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb")).limit(20)
 
 
 @query(

@@ -142,6 +142,53 @@ PG_RELATION_SIZE = T.StructType(
     ]
 )
 
+#: pg_stat_io (PG16+): per (backend_type, io_context), cumulative
+#: block I/O counters — the view that attributes physical I/O to the
+#: backend class doing it (client vs autovacuum vs checkpointer).
+PG_STAT_IO = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("backend_type", T.StringType()),
+        T.StructField("io_context", T.StringType()),
+        T.StructField("reads", T.LongType()),
+        T.StructField("writes", T.LongType()),
+        T.StructField("extends", T.LongType()),
+    ]
+)
+
+#: pg_stat_wal (PG14+): ONE global cumulative series per snapshot.
+PG_STAT_WAL = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("wal_records", T.LongType()),
+        T.StructField("wal_bytes", T.LongType()),
+        T.StructField("wal_buffers_full", T.LongType()),
+    ]
+)
+
+#: pg_stat_archiver: one global cumulative row per snapshot.
+PG_STAT_ARCHIVER = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("archived_count", T.LongType()),
+        T.StructField("failed_count", T.LongType()),
+    ]
+)
+
+#: pg_statio_user_tables: per table, cumulative block hit/read split
+#: for heap and index fetches — the per-RELATION cache analysis
+#: (pg_stat_database's blks_hit/read is the per-DB aggregate).
+PG_STATIO_USER_TABLES = T.StructType(
+    [
+        T.StructField("snap_ts", T.TimestampType()),
+        T.StructField("relname", T.StringType()),
+        T.StructField("heap_blks_read", T.LongType()),
+        T.StructField("heap_blks_hit", T.LongType()),
+        T.StructField("idx_blks_read", T.LongType()),
+        T.StructField("idx_blks_hit", T.LongType()),
+    ]
+)
+
 SCHEMAS: dict[str, T.StructType] = {
     "pg_stat_statements": PG_STAT_STATEMENTS,
     "pg_locks": PG_LOCKS,
@@ -152,6 +199,10 @@ SCHEMAS: dict[str, T.StructType] = {
     "pg_stat_user_tables": PG_STAT_USER_TABLES,
     "pg_stat_user_indexes": PG_STAT_USER_INDEXES,
     "pg_relation_size": PG_RELATION_SIZE,
+    "pg_stat_io": PG_STAT_IO,
+    "pg_stat_wal": PG_STAT_WAL,
+    "pg_stat_archiver": PG_STAT_ARCHIVER,
+    "pg_statio_user_tables": PG_STATIO_USER_TABLES,
 }
 
 #: Counter wrap level for the synthetic restarts (statements view):
@@ -619,6 +670,240 @@ WINDOW w AS (PARTITION BY relname ORDER BY snap_ts)
 """
 
 
+#: WAL bytes wrap level — chosen so the synthetic series wraps a
+#: handful of times even at sf0.01 (≈40 KB/hour × 720 hours ≈ 30 MB
+#: total), guaranteeing the reset branch of every WAL rollup is
+#: exercised at every fixture scale, same trick as _STMT_WRAP_MS.
+_WAL_WRAP_BYTES = 5_000_000
+
+_BACKEND_TYPES = (
+    "client backend",
+    "autovacuum worker",
+    "checkpointer",
+    "background writer",
+)
+
+
+def derive_stat_io(events: DataFrame) -> DataFrame:
+    """pg_stat_io snapshots: series key = (backend_type, io_context) —
+    4 backend classes (user_id %% 4) x 2 contexts (every 6th event is
+    'vacuum' I/O).  Hourly deltas are all-integer (floor of the
+    decimal value, event counts, an 1/11 extend residue); cumulative
+    counters are integer prefix sums per series.  Mirrors the PG16
+    view trimmed to its load-bearing counters."""
+    bt = F.element_at(
+        F.array(*[F.lit(b) for b in _BACKEND_TYPES]),
+        (F.col("user_id") % 4 + 1).cast("int"),
+    )
+    hourly = (
+        events.select(
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            bt.alias("backend_type"),
+            F.when(F.col("event_id") % 6 == 0, "vacuum")
+            .otherwise("normal")
+            .alias("io_context"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 5)
+            .cast("long")
+            .alias("v5"),
+            (F.col("event_id") % 11 == 0).cast("long").alias("is_ext"),
+        )
+        .groupBy("snap_ts", "backend_type", "io_context")
+        .agg(
+            F.sum("v5").alias("d_reads"),
+            F.count("*").alias("d_writes"),
+            F.sum("is_ext").alias("d_ext"),
+        )
+    )
+    w = Window.partitionBy("backend_type", "io_context").orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        "backend_type",
+        "io_context",
+        F.sum("d_reads").over(w).alias("reads"),
+        F.sum("d_writes").over(w).alias("writes"),
+        F.sum("d_ext").over(w).alias("extends"),
+    )
+
+
+STAT_IO_SQL = """
+WITH io_hourly AS (
+  SELECT date_trunc('hour', ts) AS snap_ts,
+         (['client backend', 'autovacuum worker', 'checkpointer',
+           'background writer'])[CAST(user_id % 4 + 1 AS INTEGER)]
+           AS backend_type,
+         CASE WHEN event_id % 6 = 0 THEN 'vacuum' ELSE 'normal' END
+           AS io_context,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 5) AS BIGINT))
+           AS d_reads,
+         count(*) AS d_writes,
+         sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS d_ext
+  FROM {ev} GROUP BY 1, 2, 3
+)
+SELECT snap_ts, backend_type, io_context,
+       CAST(sum(d_reads) OVER w AS BIGINT) AS reads,
+       CAST(sum(d_writes) OVER w AS BIGINT) AS writes,
+       CAST(sum(d_ext) OVER w AS BIGINT) AS extends
+FROM io_hourly
+WINDOW w AS (PARTITION BY backend_type, io_context ORDER BY snap_ts)
+"""
+
+
+def derive_stat_wal(events: DataFrame) -> DataFrame:
+    """pg_stat_wal snapshots: ONE global cumulative series, one row
+    per hour.  wal_records counts events; wal_bytes models 128 B of
+    record header plus 8 B per floor(value*7) unit and WRAPS modulo
+    ``_WAL_WRAP_BYTES`` (synthetic restarts — downstream rollups must
+    apply the §0.1 counter-reset rule); wal_buffers_full accumulates
+    a 1/13 residue.  Single-series window is the view's real shape
+    (pg_stat_wal IS one row), same rationale as derive_bgwriter."""
+    hourly = (
+        events.select(
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 7)
+            .cast("long")
+            .alias("v7"),
+            (F.col("event_id") % 13 == 0).cast("long").alias("is_full"),
+        )
+        .groupBy("snap_ts")
+        .agg(
+            F.count("*").alias("d_recs"),
+            F.sum("v7").alias("d_v7"),
+            F.sum("is_full").alias("d_full"),
+        )
+    )
+    w = Window.orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        F.sum("d_recs").over(w).alias("wal_records"),
+        (
+            (F.lit(128) * F.sum("d_recs").over(w) + F.lit(8) * F.sum("d_v7").over(w))
+            % _WAL_WRAP_BYTES
+        ).alias("wal_bytes"),
+        F.sum("d_full").over(w).alias("wal_buffers_full"),
+    )
+
+
+STAT_WAL_SQL = f"""
+WITH wal_hourly AS (
+  SELECT date_trunc('hour', ts) AS snap_ts,
+         count(*) AS d_recs,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 7) AS BIGINT)) AS d_v7,
+         sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS d_full
+  FROM {{ev}} GROUP BY 1
+)
+SELECT snap_ts,
+       CAST(sum(d_recs) OVER w AS BIGINT) AS wal_records,
+       CAST((128 * sum(d_recs) OVER w + 8 * sum(d_v7) OVER w)
+            % {_WAL_WRAP_BYTES} AS BIGINT) AS wal_bytes,
+       CAST(sum(d_full) OVER w AS BIGINT) AS wal_buffers_full
+FROM wal_hourly
+WINDOW w AS (ORDER BY snap_ts)
+"""
+
+
+def derive_stat_archiver(events: DataFrame) -> DataFrame:
+    """pg_stat_archiver snapshots: one global cumulative row per hour
+    — archived_count counts every 2nd event's WAL segment, failed
+    attempts every 17th (a deterministic ~6%% failure pressure so the
+    success-ratio rollup never degenerates to a constant 1.0)."""
+    hourly = (
+        events.select(
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            (F.col("event_id") % 2 == 0).cast("long").alias("is_arch"),
+            (F.col("event_id") % 17 == 0).cast("long").alias("is_fail"),
+        )
+        .groupBy("snap_ts")
+        .agg(
+            F.sum("is_arch").alias("d_arch"),
+            F.sum("is_fail").alias("d_fail"),
+        )
+    )
+    w = Window.orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        F.sum("d_arch").over(w).alias("archived_count"),
+        F.sum("d_fail").over(w).alias("failed_count"),
+    )
+
+
+STAT_ARCHIVER_SQL = """
+WITH arch_hourly AS (
+  SELECT date_trunc('hour', ts) AS snap_ts,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS d_arch,
+         sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END) AS d_fail
+  FROM {ev} GROUP BY 1
+)
+SELECT snap_ts,
+       CAST(sum(d_arch) OVER w AS BIGINT) AS archived_count,
+       CAST(sum(d_fail) OVER w AS BIGINT) AS failed_count
+FROM arch_hourly
+WINDOW w AS (ORDER BY snap_ts)
+"""
+
+
+def derive_statio_user_tables(events: DataFrame) -> DataFrame:
+    """pg_statio_user_tables snapshots: the same 8 tables as
+    pg_stat_user_tables (user_id %% 8), one row per (relname, hour);
+    heap/index block reads and hits are all-integer prefix sums with
+    hit multipliers ~10x the read ones, so the derived per-table hit
+    ratios land in the realistic ~0.9 band and VARY by table load
+    instead of pinning to a constant."""
+    hourly = (
+        events.select(
+            F.concat(F.lit("tbl_"), (F.col("user_id") % 8)).alias("relname"),
+            F.date_trunc("hour", "ts").alias("snap_ts"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 3)
+            .cast("long")
+            .alias("hr"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 29)
+            .cast("long")
+            .alias("hh"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 2)
+            .cast("long")
+            .alias("ir"),
+            F.floor(F.col("value").cast("decimal(18,6)") * 23)
+            .cast("long")
+            .alias("ih"),
+        )
+        .groupBy("relname", "snap_ts")
+        .agg(
+            F.sum("hr").alias("d_hr"),
+            F.sum("hh").alias("d_hh"),
+            F.sum("ir").alias("d_ir"),
+            F.sum("ih").alias("d_ih"),
+        )
+    )
+    w = Window.partitionBy("relname").orderBy("snap_ts")
+    return hourly.select(
+        "snap_ts",
+        "relname",
+        F.sum("d_hr").over(w).alias("heap_blks_read"),
+        F.sum("d_hh").over(w).alias("heap_blks_hit"),
+        F.sum("d_ir").over(w).alias("idx_blks_read"),
+        F.sum("d_ih").over(w).alias("idx_blks_hit"),
+    )
+
+
+STATIO_USER_TABLES_SQL = """
+WITH sio_hourly AS (
+  SELECT 'tbl_' || CAST(user_id % 8 AS VARCHAR) AS relname,
+         date_trunc('hour', ts) AS snap_ts,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 3) AS BIGINT)) AS d_hr,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 29) AS BIGINT)) AS d_hh,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 2) AS BIGINT)) AS d_ir,
+         sum(CAST(floor(CAST(value AS DECIMAL(18,6)) * 23) AS BIGINT)) AS d_ih
+  FROM {ev} GROUP BY 1, 2
+)
+SELECT snap_ts, relname,
+       CAST(sum(d_hr) OVER w AS BIGINT) AS heap_blks_read,
+       CAST(sum(d_hh) OVER w AS BIGINT) AS heap_blks_hit,
+       CAST(sum(d_ir) OVER w AS BIGINT) AS idx_blks_read,
+       CAST(sum(d_ih) OVER w AS BIGINT) AS idx_blks_hit
+FROM sio_hourly
+WINDOW w AS (PARTITION BY relname ORDER BY snap_ts)
+"""
+
+
 DERIVATIONS = {
     "pg_stat_statements": derive_stat_statements,
     "pg_locks": derive_locks,
@@ -629,4 +914,8 @@ DERIVATIONS = {
     "pg_stat_user_tables": derive_user_tables,
     "pg_stat_user_indexes": derive_user_indexes,
     "pg_relation_size": derive_relation_size,
+    "pg_stat_io": derive_stat_io,
+    "pg_stat_wal": derive_stat_wal,
+    "pg_stat_archiver": derive_stat_archiver,
+    "pg_statio_user_tables": derive_statio_user_tables,
 }
