@@ -553,13 +553,21 @@ def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     never under) is exercised, which the `no_undercount` column
     asserts per key.  Exact counts ride along for the delta."""
     e = load_table(spark, sf_dir, "events")
-    hashed = None
-    for seed in _CMS_SEEDS:
-        one = e.select(
-            F.lit(seed).alias("seed"),
-            F.expr(_cms_bucket_sql(seed)).alias("bucket"),
+    # one scan, 4 sketch rows per event via inline explode — the
+    # unionByName form re-read the events parquet once PER SEED
+    hashed = e.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(seed).alias("seed"),
+                        F.expr(_cms_bucket_sql(seed)).alias("bucket"),
+                    )
+                    for seed in _CMS_SEEDS
+                ]
+            )
         )
-        hashed = one if hashed is None else hashed.unionByName(one)
+    )
     sketch = hashed.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
 
     probes = e.select("event_type").distinct()
@@ -856,46 +864,101 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles (quantile_cont parity), 1.5-IQR fences, per-group
     outlier counts below/above with a sample order key for triage.
 
-    Scale shape: the quartiles come from a HISTOGRAM-CDF, not from
+    Scale shape: the quartiles come from rank-k selection, not from
     Spark's exact percentile aggregate — percentile buffers every
     value of a group inside one aggregation buffer (at sf10 that is
     20M doubles per returnflag, and it OOMed the 100x leg in both r9
-    runs that hit it).  l_extendedprice is money: group to a
-    (flag, price) histogram first (bounded by DISTINCT prices, spread
-    across shuffle partitions), then read both quartiles off the
-    cumulative distribution with quantile_cont's exact
-    ``lo + frac*(hi-lo)`` interpolation at rank (n-1)*q.  Same
-    discipline as llm_lm_filter's perplexity cutoff.  The fence
-    passes are unchanged: a BROADCAST 3-row join and one map-side
-    counting aggregate."""
+    runs that hit it).  Round 11 replaced the r9 histogram-CDF (whose
+    per-flag window still sorted ~all distinct prices through 3 task
+    sorts — prices are near-unique doubles) with the two-level
+    agg_weighted_median recipe: bucket price into 100-unit cells
+    (~1000 cells over the [900, 105000] span), locate the cell
+    holding each of quantile_cont's two row-ranks floor((n-1)*q)+1
+    and +2 with a window over the TINY per-cell table, then sort only
+    the straddling cells' rows (ties between equal prices cannot
+    change the picked VALUE) and interpolate ``lo + frac*(hi-lo)``
+    exactly.  The fence passes are unchanged: a BROADCAST 3-row join
+    and one map-side counting aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count("*").alias("cnt")
-    )
-    w_cdf = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    cdf = hist.select(
+    base = li.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum("cnt").over(w_cdf).alias("cum"),
+        F.floor(F.col("l_extendedprice") / F.lit(100.0)).cast("long").alias(
+            "cell"
+        ),
+    )
+    cells = base.groupBy("l_returnflag", "cell").agg(
+        F.count("*").alias("cnt")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("cell")
+    marked = cells.select(
+        "l_returnflag",
+        "cell",
+        F.sum("cnt")
+        .over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_end"),
+        (
+            F.sum("cnt").over(
+                wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("cnt")
+        ).alias("offset"),
         F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
     )
-
-    def _qcont(p: float) -> F.Column:
-        # rank/k_lo/frac are row-level (constant within a group:
-        # they depend only on the group's n); v_lo/v_hi aggregate
-        rank = (F.col("n") - 1) * F.lit(p)
-        k_lo = F.floor(rank)
-        frac = rank - k_lo
-        v_lo = F.min(F.when(F.col("cum") > k_lo, F.col("l_extendedprice")))
-        v_hi = F.min(
-            F.when(F.col("cum") > k_lo + 1, F.col("l_extendedprice"))
+    targets = None
+    for p, ptag in ((0.25, "q1"), (0.75, "q3")):
+        for step, stag in ((1, "lo"), (2, "hi")):
+            # 1-based row rank of quantile_cont's lower/upper element;
+            # the 'hi' rank can exceed n at the top — then no cell
+            # matches, the pick is NULL, and coalesce(v_hi, v_lo)
+            # keeps the interpolation exact (frac is 0 there)
+            k = (
+                F.floor((F.col("n") - 1) * F.lit(p)).cast("bigint")
+                + F.lit(step)
+            )
+            one = marked.filter(
+                (F.col("offset") < k) & (k <= F.col("cum_end"))
+            ).select(
+                "l_returnflag",
+                "cell",
+                "offset",
+                F.lit(f"{ptag}_{stag}").alias("tag"),
+                k.alias("k"),
+                "n",
+            )
+            targets = one if targets is None else targets.unionByName(one)
+    wq = Window.partitionBy("l_returnflag", "tag").orderBy("l_extendedprice")
+    picks = (
+        base.join(F.broadcast(targets), ["l_returnflag", "cell"])
+        .withColumn("rg", F.col("offset") + F.row_number().over(wq))
+        .filter(F.col("rg") == F.col("k"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.when(F.col("tag") == "q1_lo", F.col("l_extendedprice"))
+            ).alias("v1_lo"),
+            F.max(
+                F.when(F.col("tag") == "q1_hi", F.col("l_extendedprice"))
+            ).alias("v1_hi"),
+            F.max(
+                F.when(F.col("tag") == "q3_lo", F.col("l_extendedprice"))
+            ).alias("v3_lo"),
+            F.max(
+                F.when(F.col("tag") == "q3_hi", F.col("l_extendedprice"))
+            ).alias("v3_hi"),
+            F.max("n").alias("n"),
         )
-        # top rank: k_lo+1 may exceed n-1 — v_hi is NULL there and
-        # frac is 0, so coalesce to v_lo keeps the formula exact
-        return v_lo + F.min(frac) * (F.coalesce(v_hi, v_lo) - v_lo)
+    )
 
-    q = cdf.groupBy("l_returnflag").agg(
-        _qcont(0.25).alias("q1"), _qcont(0.75).alias("q3")
+    def _interp(p: float, lo: str, hi: str) -> F.Column:
+        rank = (F.col("n") - 1) * F.lit(p)
+        frac = rank - F.floor(rank)
+        return F.col(lo) + frac * (F.coalesce(F.col(hi), F.col(lo)) - F.col(lo))
+
+    q = picks.select(
+        "l_returnflag",
+        _interp(0.25, "v1_lo", "v1_hi").alias("q1"),
+        _interp(0.75, "v3_lo", "v3_hi").alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr

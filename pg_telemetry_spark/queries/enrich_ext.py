@@ -529,11 +529,15 @@ def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest instant of the per-type maximum.
 
     Scale shape: the sweep line turns interval-overlap counting —
-    O(n^2) as a self-join — into a 2n-row union and ONE partitioned
-    running-sum window, O(n log n) per event_type partition with no
-    pairwise work.  At 100 TB the partition key (event_type) bounds
-    each window's sort; for a single global stream the same rewrite
-    runs over coarse time buckets carrying an open-count offset."""
+    O(n^2) as a self-join — into a 2n-row union and a running sum.
+    The running sum is TWO-LEVEL (the agg_weighted_median recipe):
+    event_type alone has ~6 values, so a per-type window would
+    serialize millions of boundary points through 6 task sorts no
+    matter the core count.  Instead boundary points bucket by hour,
+    a window over the tiny (type, hour) bucket table computes each
+    bucket's carried open-count offset, and the within-bucket running
+    sums then sort (type x hour) partitions fully in parallel —
+    identical values, since hour buckets partition the sweep order."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "event_id",
@@ -543,24 +547,67 @@ def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampadd(SECOND, CAST(60 + CAST(value * 60 AS BIGINT) AS BIGINT), ts)"
         ).alias("t1"),
     )
-    pts = iv.select(
-        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
-    ).unionByName(
+    pts = (
         iv.select(
-            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "event_id"
+            "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+        )
+        .unionByName(
+            iv.select(
+                "event_type",
+                F.col("t1").alias("t"),
+                F.lit(-1).alias("delta"),
+                "event_id",
+            )
+        )
+        .withColumn("bucket", F.date_trunc("hour", "t"))
+    )
+    # level 1: per-bucket net delta (map-side combinable) -> the
+    # offset each bucket inherits from every earlier bucket; the
+    # window runs over types x hours rows, not boundary points
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        pts.groupBy("event_type", "bucket")
+        .agg(F.sum("delta").alias("tot"))
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("offset"),
         )
     )
-    w_run = Window.partitionBy("event_type").orderBy(
-        F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run = pts.select(
-        "event_type", "t", F.sum("delta").over(w_run).alias("conc")
+    # level 2: within-bucket running sums, (type, hour)-partitioned —
+    # parallel small sorts; offset + running sum == the global sweep
+    w_run = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.join(F.broadcast(offsets), ["event_type", "bucket"]).select(
+        "event_type",
+        "bucket",
+        "t",
+        (F.col("offset") + F.sum("delta").over(w_run)).alias("conc"),
+    )
+    # per-bucket peak (same partitioning as w_run — no extra
+    # exchange), then the global per-type argmax over the tiny
+    # bucket-peak table; earliest-t tie-break survives both levels
+    # because buckets partition time
+    w_bpk = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("conc").desc(), F.col("t").asc()
+    )
+    bucket_peaks = (
+        run.withColumn("rn", F.row_number().over(w_bpk))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "t", "conc")
     )
     w_rank = Window.partitionBy("event_type").orderBy(
         F.col("conc").desc(), F.col("t").asc()
     )
     return (
-        run.withColumn("rn", F.row_number().over(w_rank))
+        bucket_peaks.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") == 1)
         .select(
             "event_type",
