@@ -631,7 +631,24 @@ def main() -> None:
     if curve is not None:
         out["scale_curve"] = curve
     # Full payload: sidecar file + first (human/audit) line.
-    (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
+    payload = json.dumps(out, indent=1) + "\n"
+    (REPO / "BENCH_FULL.json").write_text(payload)
+    # Round-stamped immutable copy (VERDICT r11 #2): BENCH_FULL.json
+    # is a mutable latest-pointer that a later two-leg run can (and
+    # r11 did) clobber — the r10 three-decade sf10 record survived
+    # only in git history.  Every run now also lands a stamped file
+    # that is NEVER overwritten: SPARK_GRAFT_BENCH_TAG names it
+    # (e.g. "r12_sf10"); otherwise a numeric suffix is allocated.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    stamped = REPO / (f"BENCH_FULL_{tag}.json" if tag else "BENCH_FULL_001.json")
+    seq = 1
+    while stamped.exists():
+        seq += 1
+        base = tag if tag else ""
+        suffix = f"{base}_{seq}" if base else f"{seq:03d}"
+        stamped = REPO / f"BENCH_FULL_{suffix}.json"
+    stamped.write_text(payload)
+    out["stamped"] = stamped.name
     print(json.dumps(out))
     sys.stdout.flush()
     try:  # the session may have been revived (and the old one
