@@ -133,10 +133,15 @@ ORDER BY day
 def pgw_wal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL generation rate from pg_stat_wal: per day the increase()
     of records/bytes/buffers_full and the mean bytes-per-record.  The
-    synthetic wal_bytes counter WRAPS (statviews._WAL_WRAP_BYTES), so
-    the bytes increase applies the §0.1 counter-reset rule — negative
-    delta means restart, contribute the post-reset level — and a
-    rollup that forgot the guard would hash-mismatch at every scale.
+    synthetic wal_bytes counter WRAPS ~6 times over the span at EVERY
+    scale (statviews._WAL_WRAP_COUNT derives the wrap level from the
+    data — total/6 — so the max inter-snapshot delta, ~total/720,
+    can never multi-wrap between snapshots), so the bytes increase
+    applies the §0.1 counter-reset rule — negative delta means
+    restart, contribute the post-reset level — and a rollup that
+    forgot the guard would hash-mismatch at every scale;
+    tests/test_statviews_wal.py pins that the reset branch actually
+    fires per fixture scale.
     Single-series lag window (the view IS one row per snapshot; ticks
     number in the hundreds, not the billions) + one day groupBy."""
     snaps = derive_stat_wal(load_table(spark, sf_dir, "events"))

@@ -670,11 +670,19 @@ WINDOW w AS (PARTITION BY relname ORDER BY snap_ts)
 """
 
 
-#: WAL bytes wrap level — chosen so the synthetic series wraps a
-#: handful of times even at sf0.01 (≈40 KB/hour × 720 hours ≈ 30 MB
-#: total), guaranteeing the reset branch of every WAL rollup is
-#: exercised at every fixture scale, same trick as _STMT_WRAP_MS.
-_WAL_WRAP_BYTES = 5_000_000
+#: WAL bytes wrap count — the counter wraps this many times over the
+#: fixture's 720-hour span AT EVERY SCALE, because the wrap LEVEL is
+#: derived from the data itself (total cumulative bytes / count + 1)
+#: rather than fixed.  A fixed 5 MB level (rounds ≤11) wrapped ~6×
+#: at sf0.01 but 8+ FULL times BETWEEN consecutive hourly snapshots
+#: at sf10 (≈40 MB/hour there), producing positive-but-wrapped deltas
+#: that silently bypassed the negative-delta reset guard in every
+#: downstream rollup (ADVICE r11).  Deriving the level keeps the two
+#: invariants the guard needs at any sf: (a) ~_WAL_WRAP_COUNT resets
+#: over the span, (b) max inter-snapshot delta (≈ total/720) is two
+#: orders of magnitude below the level (≈ total/6) — multi-wrap
+#: between snapshots is impossible by construction.
+_WAL_WRAP_COUNT = 6
 
 _BACKEND_TYPES = (
     "client backend",
@@ -751,11 +759,15 @@ WINDOW w AS (PARTITION BY backend_type, io_context ORDER BY snap_ts)
 def derive_stat_wal(events: DataFrame) -> DataFrame:
     """pg_stat_wal snapshots: ONE global cumulative series, one row
     per hour.  wal_records counts events; wal_bytes models 128 B of
-    record header plus 8 B per floor(value*7) unit and WRAPS modulo
-    ``_WAL_WRAP_BYTES`` (synthetic restarts — downstream rollups must
-    apply the §0.1 counter-reset rule); wal_buffers_full accumulates
-    a 1/13 residue.  Single-series window is the view's real shape
-    (pg_stat_wal IS one row), same rationale as derive_bgwriter."""
+    record header plus 8 B per floor(value*7) unit and WRAPS modulo a
+    DATA-DERIVED level — total cumulative bytes / ``_WAL_WRAP_COUNT``
+    + 1, a full-frame window both engines compute identically — so
+    synthetic restarts happen ~6 times over the span at every fixture
+    scale and never more than once between consecutive snapshots
+    (downstream rollups must apply the §0.1 counter-reset rule);
+    wal_buffers_full accumulates a 1/13 residue.  Single-series
+    window is the view's real shape (pg_stat_wal IS one row), same
+    rationale as derive_bgwriter."""
     hourly = (
         events.select(
             F.date_trunc("hour", "ts").alias("snap_ts"),
@@ -772,13 +784,21 @@ def derive_stat_wal(events: DataFrame) -> DataFrame:
         )
     )
     w = Window.orderBy("snap_ts")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_bytes = (
+        F.lit(128) * F.sum("d_recs").over(w) + F.lit(8) * F.sum("d_v7").over(w)
+    )
+    total_bytes = (
+        F.lit(128) * F.sum("d_recs").over(wall)
+        + F.lit(8) * F.sum("d_v7").over(wall)
+    )
+    wrap = F.floor(total_bytes / _WAL_WRAP_COUNT).cast("long") + F.lit(1)
     return hourly.select(
         "snap_ts",
         F.sum("d_recs").over(w).alias("wal_records"),
-        (
-            (F.lit(128) * F.sum("d_recs").over(w) + F.lit(8) * F.sum("d_v7").over(w))
-            % _WAL_WRAP_BYTES
-        ).alias("wal_bytes"),
+        (cum_bytes % wrap).alias("wal_bytes"),
         F.sum("d_full").over(w).alias("wal_buffers_full"),
     )
 
@@ -794,7 +814,10 @@ WITH wal_hourly AS (
 SELECT snap_ts,
        CAST(sum(d_recs) OVER w AS BIGINT) AS wal_records,
        CAST((128 * sum(d_recs) OVER w + 8 * sum(d_v7) OVER w)
-            % {_WAL_WRAP_BYTES} AS BIGINT) AS wal_bytes,
+            % (CAST(floor((128 * sum(d_recs) OVER ()
+                           + 8 * sum(d_v7) OVER ())
+                          / {_WAL_WRAP_COUNT}) AS BIGINT) + 1)
+            AS BIGINT) AS wal_bytes,
        CAST(sum(d_full) OVER w AS BIGINT) AS wal_buffers_full
 FROM wal_hourly
 WINDOW w AS (ORDER BY snap_ts)
