@@ -174,3 +174,119 @@ def test_stat_view_collector_end_to_end(spark, sf_dir, view, derive, keys, count
     assert as_dict(c.increases()) == direct
     assert c.raw().count() == snaps.count()
     snaps.unpersist()
+
+
+@pytest.mark.parametrize(
+    "view",
+    ["pg_stat_statements", "pg_stat_bgwriter", "pg_stat_wal"],
+)
+def test_crash_between_sink_and_checkpoint_commit(spark, sf_dir, view):
+    """REAL crash-window replay through the streaming engine (VERDICT
+    r11 #7): the synthetic redelivery test above re-invokes _ship by
+    hand; this one kills the QUERY in the window between foreachBatch
+    success (all side effects durable: raw files, rollup, state
+    version) and checkpoint commit, then restarts via run_available()
+    and lets availableNow redeliver the uncommitted batch itself.
+    The restarted collector must reproduce exactly the same raw +
+    increase_1h contents as an uncrashed run — on the pre-99829c5
+    code (state advanced in place, not versioned by batch) the
+    redelivery computed deltas against its own first delivery and
+    this equality fails with dropped first ticks / spurious
+    zero-delta rows.
+
+    Three views cover the three series-key shapes: multi-series
+    (statements), global empty-key (bgwriter), and the wrapping
+    counter (wal — the reset rule inside a replayed batch)."""
+    import pathlib
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pg_telemetry_spark import statviews
+    from pg_telemetry_spark.collector import (
+        CUMULATIVE_VIEWS,
+        StatViewCollector,
+        counter_increases,
+    )
+    from pg_telemetry_spark.tables import load_table
+
+    keys, counters = CUMULATIVE_VIEWS[view]
+    derive = statviews.DERIVATIONS[view]
+    base = tempfile.mkdtemp(prefix=f"pgts_crashwin_{view}_")
+    snaps = derive(load_table(spark, sf_dir, "events")).persist()
+    days = sorted(
+        r[0].isoformat()
+        for r in snaps.select(F.col("snap_ts").cast("date")).distinct().collect()
+    )
+    cut = days[len(days) // 2]
+
+    c = StatViewCollector(
+        spark,
+        view=view,
+        landing_dir=f"{base}/landing",
+        warehouse_dir=f"{base}/warehouse",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    pathlib.Path(f"{base}/landing").mkdir(parents=True)
+
+    snaps.filter(F.col("snap_ts").cast("date") < cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/landing")
+    c.run_available()  # batch 0 commits cleanly
+
+    # batch 1: all of _ship's side effects land, THEN the sink dies —
+    # foreachBatch raises, the query fails, the checkpoint offset for
+    # this epoch is never committed.  This is the exact crash window
+    # the versioned state exists for.
+    snaps.filter(F.col("snap_ts").cast("date") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/landing")
+    real_ship = c._ship
+
+    def flaky_ship(batch_df, batch_id):
+        real_ship(batch_df, batch_id)
+        raise RuntimeError("injected: crashed after sink, before commit")
+
+    c._ship = flaky_ship
+    with pytest.raises(StreamingQueryException):
+        c.run_available()
+
+    inc_cols = [f"{cname}_inc" for cname in counters]
+
+    def as_dict(df):
+        return {
+            tuple(r[k] for k in ("snap_ts", *keys)): tuple(
+                _round6(r[ic]) for ic in inc_cols
+            )
+            for r in df.collect()
+        }
+
+    first_delivery = as_dict(c.increases())
+
+    # restart: availableNow redelivers the uncommitted batch through
+    # the real engine (same batch_id, same rows)
+    c._ship = real_ship
+    c.run_available()
+
+    direct = as_dict(counter_increases(snaps, keys, counters))
+    after_restart = as_dict(c.increases())
+    assert after_restart == first_delivery, (
+        "replayed batch changed the rollup output"
+    )
+    assert after_restart == direct, (
+        "restarted collector diverges from the single-pass reference"
+    )
+    # as_dict collapses duplicate (snap_ts, *keys) rows, so pin the
+    # physical layout too: the redelivery must OVERWRITE batch_id=1,
+    # never allocate a new batch dir, and row counts must match the
+    # single-pass reference exactly (no double-counted epochs)
+    bdirs = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in pathlib.Path(
+            f"{base}/warehouse/{view}/increase_1h"
+        ).glob("batch_id=*")
+    )
+    assert bdirs == [0, 1], f"unexpected rollup batch dirs: {bdirs}"
+    assert c.increases().count() == len(direct)
+    assert c.raw().count() == snaps.count()
+    snaps.unpersist()
