@@ -384,32 +384,35 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     random unit norm, max pairwise sim ~0.44), then greedily elect the
     min-doc_id single-hop neighbor as each doc's representative.
 
-    The pair search is the Arrow/BLAS blockwise matmul
-    (operators/similarity.py); the rep election is one tiny shuffle on
-    doc_id.  Scale path: replace the blockwise all-pairs with LSH/IVF
-    blocking and iterate the min-rep to a fixpoint for full
-    connected components (O(diameter) joins)."""
-    from pg_telemetry_spark.operators.similarity import sim_join_blockwise
+    The pair search is the Arrow/BLAS blockwise matmul with the
+    NEIGHBOR AGGREGATION PUSHED INTO THE KERNEL
+    (operators/similarity.py:sim_join_neighbor_stats) — each grid
+    cell emits (id, min partner, count) partials instead of every
+    qualifying pair, the map-side-combine pattern: at the sf10 ladder
+    that is ~10M partial rows in place of ~52M exploded pair rows.
+    The rep election is then one tiny shuffle on doc_id.  Scale path
+    past broadcastable corpora: LSH/IVF blocking and a min-rep
+    fixpoint for full connected components (O(diameter) joins)."""
+    from pg_telemetry_spark.operators.similarity import sim_join_neighbor_stats
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
-    pairs = sim_join_blockwise(joined, threshold=0.35, id_col="doc_id")
-    # emit both directions in ONE pass over pairs (a two-branch union
-    # would re-run the matmul stage — caught by the PLANS.md audit)
-    both = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id1").alias("doc_id"), F.col("id2").alias("nb")),
-                F.struct(F.col("id2").alias("doc_id"), F.col("id1").alias("nb")),
-            )
-        ).alias("e")
-    ).select("e.doc_id", "e.nb")
-    nb = both.unionByName(joined.select("doc_id", F.col("doc_id").alias("nb")))
-    return nb.groupBy("doc_id").agg(
-        F.min("nb").alias("rep_id"),
-        (F.count("*") - 1).alias("n_neighbors"),
-        (F.min("nb") < F.col("doc_id")).cast("int").alias("is_dup"),
+    stats = sim_join_neighbor_stats(joined, threshold=0.35, id_col="doc_id")
+    # broadcast the stats side: three narrow columns, at most one row
+    # per doc (16 MB per 10⁶ docs) — the corpus side then never
+    # reshuffles for the rep election
+    return joined.join(
+        F.broadcast(stats), joined.doc_id == stats.id, "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))
+        ).alias("rep_id"),
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        (F.coalesce("min_nb", F.col("doc_id")) < F.col("doc_id"))
+        .cast("int")
+        .alias("is_dup"),
     )
 
 
