@@ -309,6 +309,12 @@ HEADLINE = [
     "pgw_wal_rate",
     "pgw_archiver_health",
     "pgw_statio_hit_by_table",
+    # round-12: runs rules, lead-lag, Mann-Kendall, fertility, link pred
+    "ts_spc_rules",
+    "ts_cross_corr",
+    "ts_mk_trend",
+    "llm_fertility",
+    "wl_link_prediction",
 ]
 
 

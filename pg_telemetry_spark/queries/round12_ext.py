@@ -240,8 +240,9 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both series are the tick-granular spine (720 integer points each
     at any sf); the lag alignment is an equi-join on the shifted hour
     key — never a cross product over events — and each lag's corr is
-    one pass over <=720 aligned pairs."""
-    hourly = _hourly_counts(spark, sf_dir)
+    one pass over <=720 aligned pairs.  The hourly frame persists so
+    the fact table is scanned once, not once per series branch."""
+    hourly = _hourly_counts(spark, sf_dir).persist()
     cx = hourly.filter(F.col("event_type") == "click").select(
         "bucket", F.col("cnt").alias("x")
     )
@@ -314,8 +315,10 @@ def ts_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     S is exact integer arithmetic on integer counts in both engines
     (no float sign flips); the pairwise join is O(720^2) per type —
     bounded by the CALENDAR, not the data, exactly like the Theil-Sen
-    pair join — and the tie histogram is a constant-size groupBy."""
-    hourly = _hourly_counts(spark, sf_dir)
+    pair join — and the tie histogram is a constant-size groupBy.
+    The hourly frame persists so the fact table is scanned ONCE (the
+    pair join reads it twice, the tie histogram a third time)."""
+    hourly = _hourly_counts(spark, sf_dir).persist()
     a = hourly.select(
         "event_type", F.col("bucket").alias("ab"), F.col("cnt").alias("ac")
     )
