@@ -315,6 +315,8 @@ HEADLINE = [
     "ts_mk_trend",
     "llm_fertility",
     "wl_link_prediction",
+    "fn_struct",
+    "ts_rolling_median",
 ]
 
 

@@ -1,7 +1,7 @@
 """Round-12 extensions (SURVEY §2.27) — trend/run diagnostics, lead-lag
 correlation, tokenizer fertility, and link prediction.
 
-Five operators a telemetry board + training-data pipeline still ask
+Seven operators a telemetry board + training-data pipeline still ask
 for after rounds 1-11:
 
 - ``ts_spc_rules``     — Western-Electric-style control-chart RUNS
@@ -20,7 +20,12 @@ for after rounds 1-11:
   link scores for NON-adjacent item pairs on the co-purchase graph
   (Liben-Nowell & Kleinberg 2003) — the "customers who bought these
   together would likely buy THESE together" precompute, distinct
-  from ``wl_recommend_item_cf`` which scores existing co-occurrence.
+  from ``wl_recommend_item_cf`` which scores existing co-occurrence;
+- ``fn_struct``        — the third leg of the complex-type triad
+  (array/map/STRUCT): construction, lexicographic struct min/max as
+  a one-aggregate composite arg-min, field extraction;
+- ``ts_rolling_median`` — exact windowed median/p90 over a constant
+  24-hour frame (the robust smoothing baseline an EWMA is not).
 
 Scale shapes, stated up front:
 
@@ -532,4 +537,131 @@ def wl_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cn").desc(), "x", "z")
         .limit(20)
+    )
+
+
+@query(
+    "fn_struct",
+    group="scalars",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn_first,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                     l_linenumber DESC) AS rn_last
+  FROM lineitem
+)
+SELECT f.l_returnflag,
+       f.l_shipdate AS first_ship_date, f.l_orderkey AS first_ship_order,
+       f.l_linenumber AS first_ship_line,
+       l.l_shipdate AS last_ship_date, l.l_orderkey AS last_ship_order,
+       l.l_linenumber AS last_ship_line,
+       n.n_lines
+FROM ranked f
+JOIN ranked l ON f.l_returnflag = l.l_returnflag AND l.rn_last = 1
+JOIN (SELECT l_returnflag, count(*) AS n_lines FROM lineitem GROUP BY 1) n
+  ON f.l_returnflag = n.l_returnflag
+WHERE f.rn_first = 1
+ORDER BY f.l_returnflag
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct type surface — the third leg of the complex-type triad
+    (`fn_array`, `fn_map` exist): struct construction, LEXICOGRAPHIC
+    struct ordering (min/max of a struct compares fields left to
+    right — the idiomatic Spark way to take an arg-min over a
+    composite ordering in ONE aggregate, no window, no self-join),
+    and field extraction from the winning struct.  Per return flag:
+    the identity of the first and last shipment under the total
+    (shipdate, orderkey, linenumber) order.
+
+    The oracle expresses the same semantics with two row_number
+    windows — engine-idiomatic formulations on each side.  Scale:
+    one map-side-combinable aggregate over the fact table (struct
+    min/max is not hash-agg-buffer-compatible, so Spark plans a
+    SortAggregate — partial per-partition, sorted on the 3-value
+    grouping key, still O(1) state per group), where the window
+    formulation would globally sort each flag's rows twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
+    agg = li.groupBy("l_returnflag").agg(
+        F.min(key).alias("first_s"),
+        F.max(key).alias("last_s"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("first_s.l_shipdate").alias("first_ship_date"),
+        F.col("first_s.l_orderkey").alias("first_ship_order"),
+        F.col("first_s.l_linenumber").alias("first_ship_line"),
+        F.col("last_s.l_shipdate").alias("last_ship_date"),
+        F.col("last_s.l_orderkey").alias("last_ship_order"),
+        F.col("last_s.l_linenumber").alias("last_ship_line"),
+        "n_lines",
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "ts_rolling_median",
+    group="timeseries",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_SQL}),
+roll AS (
+  SELECT bucket, event_type, cnt,
+         count(*) OVER w AS n_win,
+         quantile_cont(cnt, 0.5) OVER w AS med,
+         quantile_cont(cnt, 0.9) OVER w AS p90
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, event_type, cnt,
+       round(med, 6) AS med_24h,
+       round(p90, 6) AS p90_24h,
+       (cnt > 2 * med) AS spike
+FROM roll WHERE n_win = 24
+ORDER BY event_type, bucket
+""",
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median + p90 over the trailing 24 h of the hourly
+    per-type count series — the robust baseline a telemetry board
+    smooths against (the median shrugs off the spikes an EWMA chases),
+    plus a spike flag against twice the rolling median.
+
+    Exact windowed percentiles with linear interpolation — verified
+    bit-identical between Spark's `percentile` and DuckDB's
+    `quantile_cont` — over a CONSTANT 24-row frame, so per-row state
+    is O(frame), not O(history).  The spike comparison is integer cnt
+    vs 2x a median of integers (always k or k+0.5, exactly
+    representable), so the flag can never sit on a float knife-edge.
+    Same single (type, bucket)-sorted shuffle as every series window;
+    only full frames emit (the first 23 h per type are warm-up)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-23, 0)
+    )
+    roll = hourly.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        F.count("*").over(w).alias("n_win"),
+        F.percentile(F.col("cnt"), F.lit(0.5)).over(w).alias("med"),
+        F.percentile(F.col("cnt"), F.lit(0.9)).over(w).alias("p90"),
+    )
+    return (
+        roll.filter(F.col("n_win") == 24)
+        .select(
+            "bucket",
+            "event_type",
+            "cnt",
+            F.round("med", 6).alias("med_24h"),
+            F.round("p90", 6).alias("p90_24h"),
+            (F.col("cnt") > 2 * F.col("med")).alias("spike"),
+        )
+        .orderBy("event_type", "bucket")
     )

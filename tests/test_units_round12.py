@@ -152,6 +152,58 @@ def test_fertility_reconciles_with_token_count(spark, sf_dir):
         assert abs(r.tokens_per_doc - round(re_ / docs, 6)) < 1e-9
 
 
+def test_fn_struct_matches_sorted_scan(spark, sf_dir):
+    """Struct-min/max arg-min must equal a full Python sort of the
+    collected fact rows under the same composite key."""
+    from pg_telemetry_spark.queries.round12_ext import fn_struct
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append(
+            (r.l_shipdate, r.l_orderkey, r.l_linenumber)
+        )
+    got = {r.l_returnflag: r for r in fn_struct(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for flag, keys in groups.items():
+        keys.sort()
+        r = got[flag]
+        assert (r.first_ship_date, r.first_ship_order, r.first_ship_line) == keys[0]
+        assert (r.last_ship_date, r.last_ship_order, r.last_ship_line) == keys[-1]
+        assert r.n_lines == len(keys)
+
+
+def test_rolling_median_matches_numpy(spark, sf_dir):
+    from pg_telemetry_spark.queries.round12_ext import ts_rolling_median
+
+    got = {
+        (r.event_type, r.bucket): r
+        for r in ts_rolling_median(spark, sf_dir).collect()
+    }
+    counts = _hourly_py(spark, sf_dir)
+    n_checked = spikes = 0
+    for t, series in counts.items():
+        arr = np.array(series, dtype=float)
+        for i in range(23, _N_HOURS):
+            frame = arr[i - 23 : i + 1]
+            key = (t, _CAL_LO + timedelta(hours=i))
+            r = got.pop(key)
+            med = float(np.quantile(frame, 0.5))
+            assert r.cnt == series[i]
+            assert abs(r.med_24h - med) < 1e-6
+            assert abs(r.p90_24h - float(np.quantile(frame, 0.9))) < 1e-6
+            assert r.spike == (series[i] > 2 * med)
+            spikes += r.spike
+            n_checked += 1
+    assert not got, "op emitted rows outside the full-frame range"
+    assert n_checked == len(counts) * (_N_HOURS - 23)
+    assert spikes > 0, "fixture produced no spikes — flag is untested"
+
+
 def test_link_prediction_scores_recompute(spark, sf_dir):
     """Recompute CN / Jaccard / Adamic-Adar from the collected month
     edge list and verify every returned row, non-adjacency, and that
