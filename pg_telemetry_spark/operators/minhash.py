@@ -50,6 +50,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from pg_telemetry_spark.cache import pin
+
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 DEFAULT_SHINGLE = 5
@@ -196,8 +198,8 @@ def near_duplicates(
     # warehouse scale these become materialized tables (signatures are
     # tiny: num_perm longs per doc); in-process, MEMORY_AND_DISK with
     # LRU eviction is the same decision.
-    sh = with_shingle_hashes(docs, shingle, text_col).persist()
-    sig = minhash_signatures(sh, id_col, num_perm).persist()
+    sh = pin(with_shingle_hashes(docs, shingle, text_col))
+    sig = pin(minhash_signatures(sh, id_col, num_perm))
     cands = lsh_candidate_pairs(sig, id_col, num_perm, bands, max_bucket_size)
 
     # Cheap prefilter: the minhash signature itself estimates Jaccard
@@ -377,11 +379,11 @@ def incremental_near_duplicates(
     if persist_intermediates:
         # multi-consumer delta frames (plan-shape tests pass False so
         # the raw plan stays auditable, no InMemoryRelation boundaries)
-        sh_new = sh_new.persist()
-        sg_new = sg_new.persist()
-        bk_new = bk_new.persist()
-        st_new = st_new.persist()
-    _p = (lambda df: df.persist()) if persist_intermediates else (lambda df: df)
+        sh_new = pin(sh_new)
+        sg_new = pin(sg_new)
+        bk_new = pin(bk_new)
+        st_new = pin(st_new)
+    _p = pin if persist_intermediates else (lambda df: df)
 
     if max_bucket_size is not None:
         # Base stats for ONLY the buckets the delta touches: left-semi

@@ -51,6 +51,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from pg_telemetry_spark.cache import pin
+
 SIMHASH_BITS = 64
 
 
@@ -114,7 +116,8 @@ def simhash_chunk_candidates(
     # vote-sum aggregate upstream runs once
     exploded = fingerprints.select(
         F.col(id_col), F.col("simhash"), F.posexplode(chunk_cols).alias("chunk_idx", "chunk")
-    ).persist()
+    )
+    exploded = pin(exploded)
     if max_bucket_size is None:
         small = exploded
         star = None

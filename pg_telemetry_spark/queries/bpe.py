@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -113,8 +114,8 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count("*").alias("wn"))
         .select(F.expr("filter(split(w, ''), s -> s != '')").alias("syms"), "wn")
-        .persist()
     )
+    vocab = pin(vocab)
     vocab.count()  # materialize the one corpus-wide aggregation
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):

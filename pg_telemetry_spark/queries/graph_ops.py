@@ -31,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -104,7 +105,7 @@ def wl_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches via broadcast."""
     # three consumers read the edge table (e1/e2/e3) — persist so the
     # month-join + pair fan-out + distinct runs once, not three times
-    e = copurchase_edges(_month_items(spark, sf_dir)).persist()
+    e = pin(copurchase_edges(_month_items(spark, sf_dir)))
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -144,7 +145,7 @@ def wl_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shuffle on an 8-byte key; no window, no driver data."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     # two consumers (u-side and v-side of the union) — build edges once
-    e = copurchase_edges(li).persist()
+    e = pin(copurchase_edges(li))
     deg = (
         e.select(F.col("u").alias("part"))
         .unionByName(e.select(F.col("v").alias("part")))
@@ -232,7 +233,8 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copurchase_edges(_month_items(spark, sf_dir))
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    )
+    sym = pin(sym)
     labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
     for _ in range(5):
         nbr = sym.join(
@@ -326,8 +328,8 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()
     )
+    sym = pin(sym)
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     src = (
         deg.agg(F.max(F.struct(F.col("d"), (-F.col("u")).alias("nu"))).alias("b"))

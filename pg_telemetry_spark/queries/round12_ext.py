@@ -59,6 +59,7 @@ from pg_telemetry_spark.queries.graph_ops import (
     _month_items,
     copurchase_edges,
 )
+from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.queries.relational import EVENTS_V
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
@@ -77,7 +78,7 @@ _HOURLY_SQL = f"""
     SELECT t.bucket, ty.event_type
     FROM generate_series(TIMESTAMP '{_CAL_LO}', TIMESTAMP '{_CAL_HI}',
                          INTERVAL '1 hour') AS t(bucket)
-    CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+    CROSS JOIN (SELECT DISTINCT event_type FROM {EVENTS_V} tv) ty
   ) ax
   LEFT JOIN (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
@@ -247,7 +248,7 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — never a cross product over events — and each lag's corr is
     one pass over <=720 aligned pairs.  The hourly frame persists so
     the fact table is scanned once, not once per series branch."""
-    hourly = _hourly_counts(spark, sf_dir).persist()
+    hourly = pin(_hourly_counts(spark, sf_dir))
     cx = hourly.filter(F.col("event_type") == "click").select(
         "bucket", F.col("cnt").alias("x")
     )
@@ -323,7 +324,7 @@ def ts_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join — and the tie histogram is a constant-size groupBy.
     The hourly frame persists so the fact table is scanned ONCE (the
     pair join reads it twice, the tie histogram a third time)."""
-    hourly = _hourly_counts(spark, sf_dir).persist()
+    hourly = pin(_hourly_counts(spark, sf_dir))
     a = hourly.select(
         "event_type", F.col("bucket").alias("ab"), F.col("cnt").alias("ac")
     )
@@ -496,7 +497,7 @@ def wl_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer common-neighbor count (floats are reported, never
     ordered by), so the top-20 cutoff is engine-stable.  Every
     common neighbor has degree >= 2 by construction, so ln(d) > 0."""
-    e = copurchase_edges(_month_items(spark, sf_dir)).persist()
+    e = pin(copurchase_edges(_month_items(spark, sf_dir)))
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )

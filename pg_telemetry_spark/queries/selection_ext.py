@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg_telemetry_spark.queries.detsum import DSUM_SQL, dsum
+from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -127,7 +128,7 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .select("doc_id", "source", "lang", _md5_bucket_col(F.col("w")).alias("b"))
     )
-    words = words.persist()
+    words = pin(words)
     tgt = words.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("ct"))
     raw = words.groupBy("b").agg(F.count("*").alias("cr"))
     nt = words.filter(F.col("lang") == "en").count()

@@ -295,12 +295,15 @@ def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     good = df.filter(F.col("_corrupt_record").isNull())
     bad = df.filter(F.col("_corrupt_record").isNotNull())
-    return spark.createDataFrame(
-        [
+    try:
+        rows = [
             ("good", good.count(), int(good.agg(F.sum("score")).collect()[0][0])),
             ("quarantined", bad.count(), 0),
-        ],
-        "disposition string, n_rows bigint, score_sum bigint",
+        ]
+    finally:
+        df.unpersist()  # counts above materialized everything we need
+    return spark.createDataFrame(
+        rows, "disposition string, n_rows bigint, score_sum bigint"
     )
 
 

@@ -136,10 +136,14 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark 4's successor API (transformWithStateInPandas +
     StatefulProcessor) was probed and is unusable in this container:
-    its state-server protocol requires google.protobuf, whose
-    `descriptor` module is broken here (no package installs allowed).
-    The GroupState formulation is semantically equivalent for this
-    operator and is what the cross-check test pins."""
+    its state-server protocol requires google.protobuf, absent here
+    (no package installs allowed).  The GroupState formulation is
+    semantically equivalent for this operator and is what the
+    cross-check test pins.  The successor path stays probed by
+    tests/test_units_streaming.py::test_transform_with_state_successor_api,
+    which runs the real API end-to-end and skips with the exact
+    blocker — the day the container gains protobuf it lights up
+    automatically."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

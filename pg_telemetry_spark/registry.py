@@ -16,10 +16,13 @@ Tiers (SURVEY.md §2):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pg_telemetry_spark.cache import release_pinned
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -50,8 +53,24 @@ def query(name: str, *, oracle: str | None = None, tier: str = "A", group: str =
             raise ValueError(f"duplicate query name: {name}")
         if (oracle is None) != (tier == "C"):
             raise ValueError(f"{name}: tier {tier} inconsistent with oracle presence")
+
+        # Release the PREVIOUS query's pinned intermediates at build
+        # time: by the time a consumer builds query N, query N-1's
+        # result has been materialized, so its pins are dead weight.
+        # This bounds cached storage to one query's pins in every
+        # consumer (driver sweep, bench, pytest) without each having
+        # to know the cache module exists.  The ORIGINAL fn is
+        # returned (and used for intra-module composition) so a query
+        # that reuses another query's builder doesn't release its own
+        # pins mid-build.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pinned()
+            return fn(spark, sf_dir)
+
         _REGISTRY[name] = RegisteredQuery(
-            name=name, fn=fn, oracle=oracle, tier=tier, group=group, doc=fn.__doc__ or ""
+            name=name, fn=wrapped, oracle=oracle, tier=tier, group=group,
+            doc=fn.__doc__ or "",
         )
         return fn
 

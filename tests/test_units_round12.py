@@ -18,23 +18,32 @@ import pyspark.sql.functions as F
 
 from pg_telemetry_spark.tables import load_table
 
-_TYPES = ["click", "error", "purchase", "signup", "view"]
 _CAL_LO = datetime(2024, 1, 1, 0)
 _N_HOURS = 720  # 30 days
 
 
 def _hourly_py(spark, sf_dir) -> dict[str, list[int]]:
     """Independent dense hourly counts: pure-Python bucketing over the
-    collected events table (60k rows at the gate scale)."""
+    collected events table (60k rows at the gate scale).  The type
+    axis derives from the data itself (not a hard-coded list), so a
+    regenerated fixture with a new event type flows through; a row
+    outside the 720-hour calendar fails with its offending timestamp
+    named — that is fixture DRIFT the hourly-spine ops assume away,
+    and this assert is where it surfaces."""
     rows = (
         load_table(spark, sf_dir, "events")
         .select("ts", "event_type")
         .collect()
     )
-    counts: dict[str, list[int]] = {t: [0] * _N_HOURS for t in _TYPES}
+    types = sorted({r.event_type for r in rows})
+    counts: dict[str, list[int]] = {t: [0] * _N_HOURS for t in types}
     for r in rows:
         idx = int((r.ts.replace(tzinfo=None) - _CAL_LO).total_seconds() // 3600)
-        assert 0 <= idx < _N_HOURS
+        assert 0 <= idx < _N_HOURS, (
+            f"event ts {r.ts!r} falls outside the fixed fixture calendar "
+            f"[{_CAL_LO}, +{_N_HOURS}h) the hourly-spine ops assume — "
+            "fixture drift, regenerate or widen _CAL_LO/_N_HOURS"
+        )
         counts[r.event_type][idx] += 1
     return counts
 

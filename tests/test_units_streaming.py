@@ -387,3 +387,93 @@ def test_anomaly_baseline_matches_batch_rule(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_transform_with_state_successor_api(spark, sf_dir):
+    """Probe Spark 4's transformWithStateInPandas successor API
+    (VERDICT r12 #7).  str_stateful ships on applyInPandasWithState
+    because the successor's state-server protocol needs
+    google.protobuf, broken in this container (documented at
+    queries/streaming_ops.py).  This test ATTEMPTS the real path
+    end-to-end: the day the container gains a working protobuf it
+    lights up automatically and pins successor-API parity with the
+    batch groupBy; until then it skips with the exact blocker.  Any
+    OTHER failure (API misuse, provider conf) fails loudly — only
+    the documented environmental blocker may skip."""
+    import pandas as pd
+    import pytest
+
+    # The documented blocker, probed DIRECTLY: the state-server wire
+    # format (pyspark.sql.streaming.proto) needs google.protobuf at
+    # use time — the pyspark modules import lazily, so the failure
+    # otherwise surfaces only as an opaque "driver worker exited
+    # unexpectedly (crashed)" from the micro-batch run.
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except Exception as ex:
+        pytest.skip(
+            f"transformWithStateInPandas blocked in this container: "
+            f"{ex!r} (state-server wire format) — successor API probed, "
+            "applyInPandasWithState remains the shipped path"
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("s", DoubleType())]
+            )
+            self._st = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (0, 0.0)
+            if self._st.exists():
+                n, s = self._st.get()
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._st.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = _stream_events(spark, sf_dir)
+    day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
+    h = FileStreamHarness(spark, STREAM_SCHEMA)
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    final: dict = {}
+    for b in (day1, day2):
+        h.add_batch(b)
+        t = (
+            h.stream()
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningAgg(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        for captured in h.run_available(t, "tws", output_mode="update"):
+            for r in captured:
+                final[r.user_id] = r.n_events
+    expected = {
+        r.user_id: r.n
+        for r in day1.unionByName(day2)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expected

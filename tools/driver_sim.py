@@ -130,18 +130,52 @@ if not _only and SF == "/root/testdata/sf0.01":
         except Exception:
             prev = {}
     cur = {n: round(t, 3) for n, t in timings.items()}
-    regressions = sorted(
+    raw_flags = sorted(
         n
         for n, t in cur.items()
         if n in prev and prev[n] > 0 and t >= 1.0 and t / prev[n] > 3.0
     )
+    # In-tool triplet adjudication (round 13): every full sweep's
+    # 1-2 raw flags have, for 12 rounds, been first-execution JIT /
+    # plan-compile noise at whole-second granularity (BASELINE.md
+    # "Sweep-time tripwire adjudication") — the manual protocol was
+    # two same-session re-timings and keep the flag only if steady
+    # state still regresses.  Automated here so the driver-facing
+    # `regressions` list reports STEADY-state regressions; the raw
+    # flags and re-timings stay in the sidecar for audit.
+    steady_retimes = {}
+    regressions = []
+    for n in raw_flags:
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                _df = qs[n](spark, SF)
+                _df.collect()
+                ts.append(round(time.perf_counter() - t0, 3))
+            except Exception:
+                ts.append(None)
+        steady_retimes[n] = ts
+        good = [t for t in ts if t is not None]
+        steady = min(good) if good else cur[n]
+        if steady >= 1.0 and steady / prev[n] > 3.0:
+            regressions.append(n)
     with open(side, "w") as f:
         json.dump(
-            {"sf_dir": SF, "timings": cur, "regressions": regressions},
+            {
+                "sf_dir": SF,
+                "timings": cur,
+                "regressions": regressions,
+                "raw_flags": raw_flags,
+                "steady_retimes": steady_retimes,
+            },
             f,
             indent=1,
         )
-    if regressions:
-        print("SWEEP REGRESSIONS (>3x vs previous sweep):", regressions)
+    if raw_flags:
+        print(
+            "SWEEP raw flags (>3x vs previous sweep):", raw_flags,
+            "-> steady-state regressions after triplet:", regressions,
+        )
     print("wrote", side)
 sys.exit(1 if bad else 0)
