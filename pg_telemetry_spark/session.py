@@ -58,8 +58,64 @@ SIZING_CONFS: dict[str, tuple[str, str]] = {
 }
 
 
+#: app ids whose executors already received the package zip.
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the engine source to executor Python workers (idempotent).
+
+    ``local[*]`` executors share the driver's interpreter and see its
+    ``sys.path``, so every UDF the engine pickles BY REFERENCE
+    (module-level functions in pandas_udf / applyInPandas /
+    mapInPandas kernels) resolves for free — which is exactly why a
+    single-JVM harness can never catch the failure a real cluster
+    hits immediately: separate executor processes spawn their own
+    Python workers, cloudpickle re-imports referenced modules there,
+    and ``pg_telemetry_spark`` isn't on their path
+    (ModuleNotFoundError; found by the round-13 local-cluster sweep —
+    6 Arrow-kernel ops died and the standalone master removed the app
+    after the executor-failure cascade).
+
+    The fix is the standard cluster deployment move, owned by the
+    ENGINE so any session it prepares is cluster-ready: zip the
+    package once per process and ``addPyFile`` it, which distributes
+    the archive to every current AND future executor and prepends it
+    to the Python worker path.  On YARN/K8s the same zip rides the
+    identical API; Spark Connect sessions (no sparkContext) ship via
+    ``addArtifacts`` instead and are left alone here.
+    """
+    try:
+        master = spark.sparkContext.master
+    except Exception:
+        return  # Spark Connect — no classic sparkContext
+    if master.startswith("local[") or app_id(spark) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "pg_telemetry_spark_pkg.zip")
+    tmp = f"{zpath}.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id(spark))
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
-    """Apply required runtime confs to an existing session (idempotent)."""
+    """Apply required runtime confs to an existing session (idempotent),
+    and ship the package source to remote executors when the master
+    runs them as separate processes (see :func:`ship_package`)."""
+    ship_package(spark)
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)

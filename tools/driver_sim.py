@@ -21,8 +21,23 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_LOCAL.json"
 # broadcast OOM) before correctness is even tested — at the sf0.01
 # gate scale the knob is unset and the session stays stock.
 import os as _os0
-_builder = (SparkSession.builder.master("local[8]")
+# SPARK_GRAFT_SIM_MASTER: run the same sweep under a different
+# execution mode — round 13 archives a local-cluster[2,4,4096] run
+# (real multi-process executors: catches broadcast-size mistakes,
+# task-serialization and Python-worker pickling bugs that local[8]'s
+# shared JVM can never surface).
+_MASTER = _os0.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+_builder = (SparkSession.builder.master(_MASTER)
             .config("spark.ui.enabled","false"))
+if _MASTER != "local[8]":
+    # cluster-mode sizing: local-cluster[2,4,4096] gives each worker
+    # 4 GiB but spark.executor.memory defaults to 1g — the Arrow
+    # kernels need more headroom per executor (the conf a real
+    # deployment always sets; see BASELINE.md round-13 notes)
+    _builder = _builder.config(
+        "spark.executor.memory",
+        _os0.environ.get("SPARK_GRAFT_SIM_EXEC_MEM", "3g"),
+    )
 if _os0.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM"):
     _builder = _builder.config(
         "spark.driver.memory", _os0.environ["SPARK_GRAFT_SIM_DRIVER_MEM"]
@@ -119,7 +134,7 @@ print("wrote", OUT)
 # op >3x slower AND >=1s now — bench.py lifts `regressions` into its
 # compact driver line.  Decade sweeps / filtered runs don't overwrite
 # the gate-scale record.
-if not _only and SF == "/root/testdata/sf0.01":
+if not _only and SF == "/root/testdata/sf0.01" and _MASTER == "local[8]":
     import os.path as _osp
 
     side = "/root/repo/SWEEP_TIMINGS.json"

@@ -133,8 +133,17 @@ def main() -> None:
                 flush=True,
             )
         results[sf] = per_sf
+    # MERGE-update: a run over one geometry (e.g. the clustered
+    # variants) must not clobber the other geometry's measured rows.
+    merged: dict[str, dict] = {}
+    try:
+        with open(OUT) as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(results)
     with open(OUT, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print("wrote", OUT)
     spark.stop()
 
