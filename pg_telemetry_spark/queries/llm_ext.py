@@ -979,92 +979,155 @@ def llm_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bands", "sim_bucket")
 
 
+def _pq_assign(sub, books):
+    """Per-subspace nearest-centroid codes via the BLAS expansion
+    |a-b|^2 = |a|^2 + |b|^2 - 2ab (the same matmul trick semdedup's
+    quantizer uses — the broadcast-subtract formulation materializes
+    an (n, m, ks, dsub) intermediate that is pure memory traffic).
+    ``sub`` is (n, m, dsub), ``books`` (m, ks, dsub); returns (n, m)
+    int codes, ties to the lowest centroid index (np.argmin)."""
+    import numpy as np
+
+    n, m, _ = sub.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for mi in range(m):
+        a = sub[:, mi, :]
+        b = books[mi]
+        d2 = (
+            (a * a).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * a @ b.T
+        )
+        codes[:, mi] = d2.argmin(axis=1)
+    return codes
+
+
 def _pq_train(sample, m: int = 8, ks: int = 16, dsub: int = 8, rounds: int = 8):
     """Per-subspace Lloyd k-means over a deterministic sample.
 
     Init = the ``ks`` lowest-sample-index subvectors; assignment ties
     break to the lowest centroid index (np.argmin) and empty cells
-    keep their previous centroid, so the result is bit-reproducible
-    anywhere numpy runs."""
+    keep their previous centroid, so the result is reproducible
+    anywhere numpy runs.  Centroid updates are vectorized
+    (np.add.at + bincount — the per-centroid boolean-mask loop cost
+    seconds at ks=256)."""
     import numpy as np
 
     sub = sample.reshape(len(sample), m, dsub)
     books = sub[:ks].transpose(1, 0, 2).copy()  # (m, ks, dsub)
     for _ in range(rounds):
-        # (n, m, ks) squared distances, argmin over centroids
-        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-        codes = d2.argmin(axis=2)  # (n, m)
+        codes = _pq_assign(sub, books)  # (n, m)
         for mi in range(m):
-            for j in range(ks):
-                members = sub[codes[:, mi] == j, mi, :]
-                if len(members):
-                    books[mi, j] = members.mean(axis=0)
+            c = codes[:, mi]
+            sums = np.zeros((ks, dsub))
+            np.add.at(sums, c, sub[:, mi, :])
+            cnt = np.bincount(c, minlength=ks).astype(np.float64)
+            nz = cnt > 0
+            books[mi, nz] = sums[nz] / cnt[nz, None]
     return books
 
 
 @query("llm_ann_pq", group="llm_ext", tier="C")
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011, "Product
-    Quantization for Nearest Neighbor Search"): split the 64-dim
-    embedding into m=8 subvectors of 8 dims, quantize each against a
-    16-centroid per-subspace codebook, and answer a top-10 query by
-    Asymmetric Distance Computation — the query is compared to the
-    CODES via a precomputed m x 16 lookup table, never to the raw
-    vectors.
+    """Product-quantization ANN with exact re-ranking (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search", the
+    ADC+R variant): split the 64-dim embedding into m=8 subvectors,
+    quantize each against a 256-centroid per-subspace codebook (the
+    canonical one BYTE per subspace), shortlist the top R=100 by
+    Asymmetric Distance Computation over the codes, then re-rank the
+    shortlist by EXACT distance on the raw vectors and return the
+    top-10.
 
-    Scale story: codes are m bytes per vector (8 B vs 256 B raw — a
-    32x scan-size reduction), the ADC scan is a single
-    ``mapInPandas`` pass with NO shuffle (the only exchange is the
-    final TakeOrdered top-k), and the codebook + LUT ship as a
-    task-closure constant (m*16*8 floats).  At 100 TB this is the
-    standard re-rank layer under an IVF coarse quantizer
-    (llm_ann_ivf); determinism comes from a fixed lowest-id training
-    sample, lowest-id k-means init and lowest-index argmin ties.
-    Tier C: PQ distances are approximations with no SQL oracle;
-    recall vs the exact brute-force top-k is pinned by a golden
-    test."""
+    ks=256 + re-rank is what the round-13 clustered-geometry recall
+    measurement forced: at ks=16 every member of a tight cluster
+    encodes to the SAME code, ADC distances tie across hundreds of
+    candidates, and the id tie-break picks an arbitrary 10 — measured
+    recall was literally 0.0 on gaussian-mixture embeddings (and the
+    pure-ADC top-10 never exceeded 0.2 even isotropic).  Fine codes
+    shrink the tie cells; the exact re-rank then fixes within-
+    shortlist order (measured recall@10: 0.0 → 0.7 clustered,
+    0.1-0.2 → 0.9-1.0 isotropic; ANN_RECALL.json).
+
+    Scale story: codes are m bytes per vector (8 B vs 256 B raw), the
+    ADC scan is one ``mapInPandas`` pass with NO shuffle that emits
+    only its per-batch top-R (the global TakeOrdered exchange carries
+    R rows per partition, not the corpus), and the codebook + LUT
+    ship as a task-closure constant (m*256*8 floats = 128 KB).  The
+    re-rank fetches raw vectors for just the R survivors via a
+    broadcast semi-join on vec_id and computes the exact distance
+    JVM-side (zip_with/aggregate, whole-stage codegen) — at 100 TB
+    this is the standard layered design: coarse IVF partition → PQ
+    code scan → exact re-rank on R << n rows.  Determinism: fixed
+    lowest-id training sample, lowest-id k-means init, lowest-index
+    argmin ties, id-tie-broken orderings at both stages.  Tier C: PQ
+    distances are approximations with no SQL oracle; recall vs the
+    exact brute-force top-k is pinned by a golden test."""
     import numpy as np
     import pandas as pd
 
-    M, KS, DSUB, TOPK = 8, 16, 8, 10
+    M, KS, DSUB, TOPK, R, NTRAIN = 8, 256, 8, 10, 100, 2048
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # deterministic codebook training sample: the 256 lowest vec_ids
-    # (a bounded driver collect — PQ codebooks are trained on a small
-    # sample in practice; the full corpus is only ever ENCODED)
-    seed_rows = emb.orderBy("vec_id").limit(256).collect()
+    # deterministic codebook training sample: the NTRAIN lowest
+    # vec_ids (a bounded driver collect — PQ codebooks are trained on
+    # a small sample in practice; the full corpus is only ENCODED)
+    seed_rows = emb.orderBy("vec_id").limit(NTRAIN).collect()
     sample = np.array([r.v for r in seed_rows], dtype=np.float64)
-    books = _pq_train(sample, m=M, ks=KS, dsub=DSUB)  # (M, 16, 8)
-    q_row = emb.orderBy("vec_id").limit(1).collect()[0]
+    books = _pq_train(sample, m=M, ks=KS, dsub=DSUB)  # (M, 256, 8)
+    q_row = seed_rows[0]
     q_id = int(q_row.vec_id)
-    q = np.array(q_row.v, dtype=np.float64).reshape(M, DSUB)  # (M, 8)
+    qvec = list(map(float, q_row.v))
+    q = np.array(q_row.v, dtype=np.float64).reshape(M, DSUB)
     # ADC lookup table: squared distance from each query subvector to
     # every centroid of its subspace
-    lut = ((books - q[:, None, :]) ** 2).sum(axis=2)  # (M, 16)
+    lut = ((books - q[:, None, :]) ** 2).sum(axis=2)  # (M, 256)
 
     def adc_scan(batches):
         for pdf in batches:
             X = np.array(pdf["v"].tolist(), dtype=np.float64)  # (n, 64)
-            sub = X.reshape(len(pdf), M, DSUB)
-            # encode: argmin over centroids per subspace (ties -> lowest idx)
-            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2)  # (n, M)
+            codes = _pq_assign(X.reshape(len(pdf), M, DSUB), books)
             adc = lut[np.arange(M)[None, :], codes].sum(axis=1)  # (n,)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "adc_dist": np.round(adc, 6)}
             )
+            # per-batch pre-prune: only this batch's R best can reach
+            # the global top-R, so the scan's output is R rows per
+            # Arrow batch, not the corpus
+            yield out.sort_values(
+                ["adc_dist", "vec_id"], kind="mergesort"
+            ).head(R)
 
     scored = emb.mapInPandas(adc_scan, schema="vec_id long, adc_dist double")
-    return (
+    shortlist = (
         scored.filter(F.col("vec_id") != q_id)
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(TOPK)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()))
-            .alias("rank"),
-            "vec_id",
-            "adc_dist",
+        .limit(R)
+    )
+    # exact re-rank: raw vectors for the R survivors only (broadcast
+    # hash join on vec_id), exact squared distance in codegen
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    rer = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .withColumn(
+            "exact_dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", qlit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
         )
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+    return rer.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc()))
+        .alias("rank"),
+        "vec_id",
+        "adc_dist",
+        "exact_dist",
     )

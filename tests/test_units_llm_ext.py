@@ -190,13 +190,19 @@ def test_lsh_ann_recovers_planted_neighbors(spark, sf_dir):
 
 
 def test_pq_adc_matches_numpy_and_recall(spark, sf_dir):
-    """llm_ann_pq golden: (a) the distributed ADC scan reproduces a
-    local numpy replay of the same codebook/LUT bit-for-bit, and
-    (b) PQ top-10 overlaps the exact brute-force top-10 (recall
-    floor — PQ is approximate by construction)."""
+    """llm_ann_pq golden: (a) the distributed ADC scan and exact
+    re-rank reproduce a local numpy replay of the same codebook/LUT
+    bit-for-bit, (b) the final order is by exact distance, and
+    (c) the re-ranked top-10 overlaps the exact brute-force top-10
+    (the recall floor the ks=256 + ADC+R design buys — measured 1.0
+    at this scale, 0.7+ at sf1/sf10 on both geometries)."""
     import numpy as np
 
-    from pg_telemetry_spark.queries.llm_ext import _pq_train, llm_ann_pq
+    from pg_telemetry_spark.queries.llm_ext import (
+        _pq_assign,
+        _pq_train,
+        llm_ann_pq,
+    )
     from pg_telemetry_spark.tables import load_table
     import pyspark.sql.functions as F
 
@@ -211,23 +217,27 @@ def test_pq_adc_matches_numpy_and_recall(spark, sf_dir):
     )
     ids = np.array([r.vec_id for r in emb])
     X = np.array([r.v for r in emb], dtype=np.float64)
-    M, KS, DSUB = 8, 16, 8
-    books = _pq_train(X[:256], m=M, ks=KS, dsub=DSUB)
+    M, KS, DSUB, NTRAIN = 8, 256, 8, 2048
+    books = _pq_train(X[:NTRAIN], m=M, ks=KS, dsub=DSUB)
     q = X[0].reshape(M, DSUB)
     lut = ((books - q[:, None, :]) ** 2).sum(axis=2)
-    sub = X.reshape(len(X), M, DSUB)
-    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-    codes = d2.argmin(axis=2)
+    codes = _pq_assign(X.reshape(len(X), M, DSUB), books)
     adc = np.round(lut[np.arange(M)[None, :], codes].sum(axis=1), 6)
+    exact_d = np.round(((X - X[0]) ** 2).sum(axis=1), 6)
 
-    # (a) exact replay of the distributed ADC values
-    local = {int(i): float(a) for i, a in zip(ids, adc)}
+    # (a) exact replay of the distributed ADC + exact-rerank values
+    local_adc = {int(i): float(a) for i, a in zip(ids, adc)}
+    local_exact = {int(i): float(d) for i, d in zip(ids, exact_d)}
     for r in got:
-        assert local[r.vec_id] == r.adc_dist
+        assert local_adc[r.vec_id] == r.adc_dist
+        assert local_exact[r.vec_id] == r.exact_dist
 
-    # (b) recall vs exact brute-force top-10 (query vector excluded)
-    exact_d = ((X - X[0]) ** 2).sum(axis=1)
+    # (b) ranked by exact distance (id tie-break), not ADC
+    ranked = [(r.exact_dist, r.vec_id) for r in got]
+    assert ranked == sorted(ranked)
+
+    # (c) recall vs exact brute-force top-10 (query vector excluded)
     order = np.lexsort((ids, exact_d))
     exact_top = [int(ids[i]) for i in order if ids[i] != ids[0]][:10]
     overlap = len(set(exact_top) & {r.vec_id for r in got})
-    assert overlap >= 4, f"PQ recall@10 too low: {overlap}/10"
+    assert overlap >= 8, f"PQ rerank recall@10 too low: {overlap}/10"
