@@ -201,8 +201,13 @@ def get_session(app_name: str = "pg_telemetry_spark") -> SparkSession:
     assumption.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # SPARK_GRAFT_MASTER overrides the local master entirely (e.g.
+    # 'local-cluster[4,8,8192]' for real multi-process executors, or a
+    # standalone/YARN URL on a deployment) — prepare_session ships the
+    # package source automatically for any non-local master.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         # 16g default (round 9): the single-JVM local harness now runs
@@ -214,6 +219,14 @@ def get_session(app_name: str = "pg_telemetry_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if not master.startswith("local["):
+        # separate executor processes: size their heaps explicitly
+        # (the 1g default OOM-cycles under the Arrow kernels — see
+        # BASELINE.md round 13)
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "3g"),
+        )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
