@@ -1065,10 +1065,20 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    M, KS, DSUB, TOPK, R, NTRAIN = 8, 256, 8, 10, 100, 2048
+    M, KS, DSUB, TOPK, NTRAIN = 8, 256, 8, 10, 2048
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # Adaptive shortlist: a FIXED R shrinks relative to n and recall
+    # decays with scale (measured: R=100 recall@10 fell 0.9 -> 0.3
+    # across the ladder; the R-sweep in ANN_RECALL.json "pq_r_sweep"
+    # shows 0.5% of the corpus recovers 0.8-0.9).  R = n/200 keeps
+    # the re-rank a fixed 0.5% fraction — still R << n rows through
+    # the broadcast join — capped so the shortlist exchange stays
+    # bounded on any corpus (at true 100 TB the IVF layer bounds n
+    # per cell first).
+    n_corpus = emb.count()  # bounded scalar (SCALE.md inventory)
+    R = min(2000, max(100, n_corpus // 200))
     # deterministic codebook training sample: the NTRAIN lowest
     # vec_ids (a bounded driver collect — PQ codebooks are trained on
     # a small sample in practice; the full corpus is only ENCODED)
