@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from pg_telemetry_spark.operators.similarity import as_double, dot
+from pg_telemetry_spark.session import ckpt_eager
 
 
 def kmeans_centroids(
@@ -94,7 +95,7 @@ def _kmeans_centroids_impl(
     sample = corpus.filter(F.col(id_col) % sample_stride == 0).select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).persist()
-    cents = _init_centroids(sample, k, id_col).localCheckpoint(eager=True)
+    cents = _init_centroids(sample, k, id_col).transform(ckpt_eager)
     for _ in range(iters):
         # BLAS assignment (matmul per Arrow batch vs the k-row centroid
         # matrix) — the former crossJoin + fold-dot + top-1 window ran
@@ -117,7 +118,7 @@ def _kmeans_centroids_impl(
         cents = (
             cents.join(means, "cell_id", "left")
             .select("cell_id", F.coalesce("new_cv", "cv").alias("cv"))
-            .localCheckpoint(eager=True)  # flat lineage per round
+            .transform(ckpt_eager)  # flat lineage per round
         )
     sample.unpersist()
     return cents.withColumn(

@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from pg_telemetry_spark.session import ckpt_eager, ckpt_lazy
+
 
 def connected_components(
     edges: DataFrame,
@@ -79,7 +81,7 @@ def _connected_components_impl(
                     F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
@@ -181,7 +183,7 @@ def _connected_components_star_impl(
     for _ in range(max_iter):
         # lazy checkpoint: the witness aggregate materializes it, so
         # each alternation costs one job instead of two
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(cur)).transform(ckpt_lazy)
         cur_w = witness(nxt)
         if cur is not und:
             cur.unpersist()
@@ -204,7 +206,7 @@ def _connected_components_star_impl(
     out = (
         nodes.join(member_labels, "id", "left")
         .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     und.unpersist()
     nodes.unpersist()

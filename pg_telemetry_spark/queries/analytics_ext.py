@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.session import ckpt_eager
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -909,7 +910,7 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = c.filter(is_root).select(
         "node", F.col("node").alias("root"), F.lit(0).alias("depth")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_eager)
     out = frontier
     while frontier.count() > 0:  # scalar emptiness check per level
         frontier = (
@@ -918,7 +919,7 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "parent",
             )
             .select("node", "root", (F.col("depth") + 1).alias("depth"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         out = out.unionByName(frontier)
     return out

@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.session import ckpt_lazy
 from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
@@ -139,9 +140,7 @@ def bpe_train(
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((r, a, b, a + b, n))
-        vocab = vocab.select(_merge_fold(a, b).alias("syms"), "wn").localCheckpoint(
-            eager=False
-        )
+        vocab = vocab.select(_merge_fold(a, b).alias("syms"), "wn").transform(ckpt_lazy)
     return merges
 
 

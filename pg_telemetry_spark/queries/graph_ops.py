@@ -31,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.session import ckpt_eager
 from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
@@ -202,7 +203,7 @@ def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explain string alone OOMs a default driver by round 8); on
         # a real cluster swap in reliable checkpointing to survive
         # executor loss
-        ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks.transform(ckpt_eager)
     out = (
         ranks.select(F.col("u").alias("part"), F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), "part")
@@ -246,7 +247,7 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.groupBy("u")
             .agg(best)
             .select("u", (-F.col("b.nl")).alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
     return (
         labels.groupBy("label")
@@ -284,7 +285,7 @@ def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     n_prev = sym.count()
     for _ in range(30):
@@ -293,7 +294,7 @@ def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         n = sym.count()  # 1-row convergence scalar per round (bounded)
         if n == n_prev:
@@ -335,7 +336,7 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.agg(F.max(F.struct(F.col("d"), (-F.col("u")).alias("nu"))).alias("b"))
         .select((-F.col("b.nu")).alias("u"))
     )
-    visited = src.select("u", F.lit(0).alias("hop")).localCheckpoint(eager=True)
+    visited = src.select("u", F.lit(0).alias("hop")).transform(ckpt_eager)
     frontier = visited.select("u")
     for hop in range(1, 11):
         nxt = (
@@ -344,12 +345,12 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("u"), "u", "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(ckpt_eager)
         if nxt.count() == 0:  # 1-row scalar per hop (bounded)
             break
         visited = visited.unionByName(
             nxt.select("u", F.lit(hop).alias("hop"))
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_eager)
         frontier = nxt
     return (
         visited.groupBy("hop")

@@ -191,6 +191,48 @@ def sized_shuffle(spark: SparkSession, partitions: int = 16):
         spark.conf.set(key, old)
 
 
+#: app ids whose SparkContext already has the checkpoint dir set.
+_CKPT_DIR_SET: set[str] = set()
+
+
+def iter_checkpoint(df, eager: bool = True):
+    """Lineage truncation for iterative operators (PageRank rounds,
+    label propagation, BFS frontiers, BPE merges, CC star rounds,
+    k-means centroids).
+
+    Default: ``localCheckpoint`` — fast, blocks live on executors.
+    That is the right local/bench trade, but those blocks are
+    UNREPLICATED: losing the executor that holds a truncated round's
+    blocks can fail the job (the round-13 executor-kill probe
+    recovered, but only because retry landed before truncation was
+    load-bearing).  With ``PG_TELEMETRY_SPARK_CHECKPOINT_DIR`` set,
+    iterative ops switch to RELIABLE ``checkpoint()`` into that
+    directory (HDFS/S3/NFS on a real cluster) — blocks survive any
+    executor loss.  Set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (or manage the directory lifecycle) to reclaim space.
+    """
+    d = os.environ.get("PG_TELEMETRY_SPARK_CHECKPOINT_DIR")
+    if not d:
+        return df.localCheckpoint(eager=eager)
+    spark = df.sparkSession
+    key = app_id(spark)
+    if key not in _CKPT_DIR_SET:
+        spark.sparkContext.setCheckpointDir(d)
+        _CKPT_DIR_SET.add(key)
+    return df.checkpoint(eager=eager)
+
+
+def ckpt_eager(df):
+    """`df.transform(ckpt_eager)` — chain-preserving iter_checkpoint."""
+    return iter_checkpoint(df, eager=True)
+
+
+def ckpt_lazy(df):
+    """`df.transform(ckpt_lazy)` — lazy variant (materialized by the
+    caller's next action, one job instead of two)."""
+    return iter_checkpoint(df, eager=False)
+
+
 def get_session(app_name: str = "pg_telemetry_spark") -> SparkSession:
     """Build (or fetch) a local session configured for the engine.
 

@@ -44,3 +44,32 @@ def test_sized_shuffle_cap_survives_prepare_session(spark):
         prepare_session(spark)  # load_table inside an operator loop
         assert spark.conf.get(_SHUF) == "4"
     assert spark.conf.get(_SHUF) != "4"
+
+
+def test_reliable_checkpoint_dir_engages(spark, tmp_path):
+    """With PG_TELEMETRY_SPARK_CHECKPOINT_DIR set, iterative operators
+    switch from localCheckpoint (executor-local, unreplicated) to
+    reliable checkpoint() into the directory — the conf a real
+    cluster sets so lineage-truncated rounds survive executor loss.
+    Result must be identical on both paths and the directory must
+    actually receive checkpoint data."""
+    import os
+
+    from pg_telemetry_spark.registry import all_queries
+
+    reg = all_queries()
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r.part, r.rank) for r in reg["wl_pagerank"].fn(spark, sf).collect()
+    }
+    ckpt = tmp_path / "ckpt"
+    os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"] = str(ckpt)
+    try:
+        got = {
+            (r.part, r.rank) for r in reg["wl_pagerank"].fn(spark, sf).collect()
+        }
+    finally:
+        del os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"]
+    assert got == base
+    files = [p for p in ckpt.rglob("*") if p.is_file()]
+    assert files, "no reliable-checkpoint files written"
