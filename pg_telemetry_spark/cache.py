@@ -26,23 +26,41 @@ query's build path fails the sweep by name.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_PINNED: list[DataFrame] = []
+# Pins are PER-THREAD: the @query decorator releases pins at the top of
+# every registered-query build, so a shared list would let concurrent
+# builds in one process unpersist each other's pins mid-build
+# (recompute-only, but it defeats the scan-once economy).  Thread-local
+# storage gives each concurrently-building thread its own pin ledger;
+# single-threaded consumers (driver sweep, bench, pytest) see the exact
+# old behavior.
+_TLS = threading.local()
+
+
+def _pins() -> list[DataFrame]:
+    pins = getattr(_TLS, "pinned", None)
+    if pins is None:
+        pins = _TLS.pinned = []
+    return pins
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for :func:`release_pinned`."""
     df.persist()
-    _PINNED.append(df)
+    _pins().append(df)
     return df
 
 
 def release_pinned() -> None:
-    """Unpersist every pinned intermediate (idempotent, never raises)."""
-    for df in _PINNED:
+    """Unpersist this thread's pinned intermediates (idempotent, never
+    raises)."""
+    pins = _pins()
+    for df in pins:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped
-    _PINNED.clear()
+    pins.clear()

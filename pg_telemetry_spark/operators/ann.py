@@ -343,3 +343,187 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def estimate_neighbor_cos(
+    corpus: DataFrame,
+    k: int = 5,
+    sample: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Deterministic bounded-sample estimate of the mean cosine
+    similarity of the k-th nearest neighbor — the quantity that sizes
+    an LSH operating point, the hyperplane analog of what
+    ``llm_band_tuning`` derives for MinHash bands.
+
+    The ``sample`` lowest-id vectors are collected (same bounded
+    driver-collect pattern as PQ codebook training) and the k-NN
+    similarity is computed within the sample with one BLAS matmul.  A
+    subsample's neighbors are FARTHER than the full corpus's, so this
+    UNDERESTIMATES the true k-NN cosine — which over-provisions
+    tables in :func:`lsh_plan`, the safe direction for recall."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    S = X @ X.T
+    np.fill_diagonal(S, -2.0)
+    kth = np.sort(S, axis=1)[:, -k]
+    return round(float(kth.mean()), 4)
+
+
+def lsh_plan(
+    n: int,
+    s_k: float,
+    target_recall: float = 0.75,
+    min_bits: int = 6,
+    max_bits: int = 14,
+    max_tables: int = 12,
+) -> tuple[int, int, float, float]:
+    """Choose (nbits, tables) for multi-table hyperplane LSH with
+    Hamming-1 multiprobe from the data: the measured k-NN cosine
+    ``s_k`` gives the per-bit agreement p = 1 - theta/pi (Charikar'02),
+    the per-table hit under Hamming-1 is p^b + b*p^(b-1)*(1-p), and
+    tables T are the fewest whose union reaches ``target_recall``.
+    Among feasible plans the cheapest candidate volume
+    T*(b+1)/2^b wins; if no plan is feasible within ``max_tables``,
+    the highest-recall plan wins (recall-first).  ``min_bits`` is
+    raised with n so expected bucket occupancy n/2^b stays <= ~2048 —
+    the per-bucket join side must stay bounded at corpus scale.
+
+    Returns (nbits, tables, expected_recall, expected_candidate_frac).
+    Pure closed-form integer/float arithmetic on two scalars —
+    deterministic across runs and cluster topologies."""
+    import math
+
+    p = round(1.0 - math.acos(min(max(s_k, -0.999), 0.999)) / math.pi, 4)
+    occupancy_bits = math.ceil(math.log2(max(n, 2) / 2048)) if n > 2048 else 0
+    lo = min(max(min_bits, occupancy_bits), max_bits)
+    best: tuple[int, int, float, float] | None = None
+    for b in range(lo, max_bits + 1):
+        h = p**b + b * p ** (b - 1) * (1.0 - p)
+        h = min(max(h, 1e-9), 1.0 - 1e-9)
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - h))
+        t = max(1, min(max_tables, t))
+        recall = 1.0 - (1.0 - h) ** t
+        frac = t * (b + 1) / float(1 << b)
+        cand = (b, t, round(recall, 4), round(frac, 6))
+        if best is None:
+            best = cand
+            continue
+        feas_new, feas_old = recall >= target_recall, best[2] >= target_recall
+        if feas_new and not feas_old:
+            best = cand
+        elif feas_new == feas_old:
+            if (feas_new and frac < best[3]) or (not feas_new and recall > best[2]):
+                best = cand
+    assert best is not None
+    return best
+
+
+def _bucket_code_rows(
+    vectors: DataFrame,
+    planes,
+    id_col: str,
+    out_id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(out_id, tbl, bucket) — one row per table per vector, computed
+    with ONE BLAS matmul per Arrow batch against the full (T*b, dim)
+    plane matrix.  The fold-dot JVM expression of
+    :func:`hyperplane_buckets` is the right shape for ONE table; T
+    tables of it would evaluate T*b interpreted 64-element lambda
+    chains per row (the measured 48x cliff documented on
+    :func:`assign_nearest_cell`).  Sign convention matches
+    hyperplane_buckets: dot >= 0 sets the bit."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype="float64")  # (T, b, dim)
+    n_tables, nbits, _dim = P.shape
+    flat = P.reshape(n_tables * nbits, _dim)
+    weights = (1 << np.arange(nbits)).astype("int64")
+
+    def code(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (X @ flat.T >= 0).astype("int64")
+            codes = bits.reshape(len(pdf), n_tables, nbits) @ weights
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype="int64"), len(pdf)),
+                    "bucket": codes.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        code, schema=f"{out_id_col} long, tbl long, bucket long"
+    )
+
+
+def multitable_lsh_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    target_recall: float = 0.75,
+    nbits: int | None = None,
+    tables: int | None = None,
+) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-k (VERDICT r13 #1:
+    the single 8-bit/Hamming-1 table floors at recall 0.12 on
+    isotropic fixtures).  T independent tables, each with its own
+    md5-derived plane set (seed = table id) and Hamming-1 multiprobe
+    on the PROBE side only; (nbits, T) are solved from the measured
+    k-NN cosine by :func:`lsh_plan` unless pinned by the caller.
+
+    Scale shape: the corpus index is NARROW — (tbl, bucket, id), T
+    rows per vector, no vector payload — so the bucket equi-join
+    produces candidate (probe, neighbor) PAIRS which are deduplicated
+    across tables BEFORE the one join that attaches vectors for exact
+    scoring.  Vectors are never duplicated per table or per probe
+    bucket; at 100 TB the index is a materialized table partitioned
+    by (tbl, bucket)."""
+    n = corpus.count()  # bounded scalar
+    if nbits is None or tables is None:
+        s_k = estimate_neighbor_cos(
+            corpus, k=k, id_col=id_col, vec_col=vec_col
+        )
+        nbits, tables, _, _ = lsh_plan(n, s_k, target_recall=target_recall)
+    planes = [_hyperplanes(nbits, dim, seed=t) for t in range(tables)]
+    c_idx = _bucket_code_rows(corpus, planes, id_col, "neighbor_id", vec_col)
+    p_codes = _bucket_code_rows(probes, planes, probe_id_col, probe_id_col, vec_col)
+    flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(nbits)])
+    p_idx = p_codes.withColumn("flip", F.explode(flips)).select(
+        probe_id_col,
+        "tbl",
+        F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+    )
+    cand = (
+        p_idx.join(c_idx, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(probe_id_col))
+        .select(probe_id_col, "neighbor_id")
+        .distinct()
+    )
+    pv = probes.select(F.col(probe_id_col), as_double(vec_col).alias("pv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(pv), probe_id_col)
+        .select(
+            probe_id_col,
+            "neighbor_id",
+            F.round(dot("pv", "cv"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -290,7 +290,16 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_ann_ivf", group="llm_ext", tier="C")
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 neighbors for 10 probes (nprobe=4 of ~16
-    cells — searches ~25% of the corpus instead of 100%)."""
+    cells — searches ~25% of the corpus instead of 100%).
+
+    TEACHING BASELINE, not the retrieval-grade op (r14 adjudication of
+    VERDICT r13 #2): stride centroids are arbitrary corpus vectors, so
+    cell boundaries carry no geometry and measured recall floors at
+    0.38–0.6 (ANN_RECALL.json) — pushing it to 0.8 would need nprobe
+    scanning >50% of the corpus, i.e. brute force wearing an index.
+    The op stays because it isolates exactly the quantizer choice
+    against llm_ann_ivf_kmeans (same search path, recall 1.0 on both
+    measured geometries); use THAT for retrieval."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, assigned = build_ivf_index(emb, stride=32)
     probes = emb.filter(F.col("vec_id") < 10).select(
@@ -505,18 +514,22 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_ann_lsh", group="llm_ext", tier="C")
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 neighbors for 10 probes
-    (8-bit cosine signatures, Hamming-1 multiprobe — searches ~9/256
-    of the corpus in expectation).  Complements llm_ann_ivf as the
-    second bucketing family; recall is pinned by a planted-neighbor
-    unit test (the uniform random fixture has no clusters to find)."""
-    from pg_telemetry_spark.operators.ann import lsh_ann_topk
+    """Multi-table hyperplane-LSH approximate top-5 neighbors for 10
+    probes.  The (nbits, tables) operating point is solved from the
+    measured k-NN cosine of a bounded sample (operators/ann.lsh_plan
+    — the hyperplane analog of llm_band_tuning's band/row math): hard
+    isotropic geometry provisions more/shorter tables, clustered
+    real-world geometry resolves to fewer/longer ones.  Replaces the
+    single 8-bit table whose uniform-probe recall floored at 0.12
+    (VERDICT r13 #1); recall is pinned by unit tests on BOTH planted
+    near-copies and the uniform fixture's true top-5."""
+    from pg_telemetry_spark.operators.ann import multitable_lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return lsh_ann_topk(emb, probes, k=5, nbits=8)
+    return multitable_lsh_ann_topk(emb, probes, k=5)
 
 
 @query(
@@ -1103,17 +1116,19 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # per-batch pre-prune: only this batch's R best can reach
             # the global top-R, so the scan's output is R rows per
-            # Arrow batch, not the corpus
+            # Arrow batch, not the corpus.  The query's own row is
+            # excluded HERE, before head(R) — otherwise the batch
+            # holding q contributes only R-1 real candidates and the
+            # global shortlist can drop one boundary candidate.
+            out = out[out["vec_id"] != q_id]
             yield out.sort_values(
                 ["adc_dist", "vec_id"], kind="mergesort"
             ).head(R)
 
     scored = emb.mapInPandas(adc_scan, schema="vec_id long, adc_dist double")
-    shortlist = (
-        scored.filter(F.col("vec_id") != q_id)
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(R)
-    )
+    shortlist = scored.orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    ).limit(R)
     # exact re-rank: raw vectors for the R survivors only (broadcast
     # hash join on vec_id), exact squared distance in codegen
     qlit = F.array(*[F.lit(x) for x in qvec])

@@ -131,8 +131,10 @@ def str_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: per-user running event counter
     and running value sum maintained in GroupState across micro-
-    batches (applyInPandasWithState).  Returns the final per-user
-    state after two batches.
+    batches (applyInPandasWithState), with the state SHARD-SALTED
+    (user_id % 64) so the per-group Python tax is paid 64 times per
+    batch instead of once per user.  Returns the final per-user state
+    after two batches.
 
     Spark 4's successor API (transformWithStateInPandas +
     StatefulProcessor) was probed and is unusable in this container:
@@ -151,16 +153,49 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
 
     out_schema = "user_id bigint, n_events bigint, sum_value double"
-    state_schema = "n bigint, s double"
+    # SHARD-SALTED state (r14, VERDICT r13 #5): applyInPandasWithState
+    # pays a fixed per-GROUP Python/serde tax (~0.3 ms) per micro-
+    # batch, so keying the state by raw user_id cost 0.3 ms x 148k
+    # keys = 98.9 s of the 228 s sf10 streaming ladder.  Keying by
+    # user_id % N_SHARDS caps the group count at N_SHARDS; each shard
+    # holds its users' running (n, sum) pairs as parallel arrays and
+    # updates them with ONE vectorized pandas groupby per batch.
+    # Per-user semantics are unchanged: every user whose events appear
+    # in a batch emits its cumulative row that batch, as before.
+    N_SHARDS = 64
+    state_schema = "users array<bigint>, ns array<bigint>, ss array<double>"
 
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        if state.exists:
+            users, ns, ss = state.get
+            held = {int(u): (int(n), float(s)) for u, n, s in zip(users, ns, ss)}
+        else:
+            held = {}
+        touched: dict = {}
         for pdf in pdfs:
-            n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
+            g = pdf.groupby("user_id")["value"].agg(["count", "sum"])
+            for u, cnt, sm in zip(
+                g.index.to_numpy(), g["count"].to_numpy(), g["sum"].to_numpy()
+            ):
+                n0, s0 = held.get(int(u), (0, 0.0))
+                cur = (n0 + int(cnt), s0 + float(sm))
+                held[int(u)] = cur
+                touched[int(u)] = cur
+        keys = sorted(held)
+        state.update(
+            (
+                keys,
+                [held[u][0] for u in keys],
+                [float(held[u][1]) for u in keys],
+            )
+        )
+        tu = sorted(touched)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+            {
+                "user_id": tu,
+                "n_events": [touched[u][0] for u in tu],
+                "sum_value": [round(touched[u][1], 6) for u in tu],
+            }
         )
 
     h = FileStreamHarness(spark, STREAM_SCHEMA)
@@ -169,7 +204,8 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.add_batch(b)
         transformed = (
             h.stream()
-            .groupBy("user_id")
+            .withColumn("shard", F.col("user_id") % N_SHARDS)
+            .groupBy("shard")
             .applyInPandasWithState(
                 update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
             )

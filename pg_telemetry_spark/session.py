@@ -191,8 +191,10 @@ def sized_shuffle(spark: SparkSession, partitions: int = 16):
         spark.conf.set(key, old)
 
 
-#: app ids whose SparkContext already has the checkpoint dir set.
-_CKPT_DIR_SET: set[str] = set()
+#: (app id, dir) pairs whose SparkContext has that checkpoint dir set —
+#: keyed on the DIR too so a changed PG_TELEMETRY_SPARK_CHECKPOINT_DIR
+#: within one app is re-applied instead of silently ignored.
+_CKPT_DIR_SET: set[tuple[str, str]] = set()
 
 
 def iter_checkpoint(df, eager: bool = True):
@@ -215,11 +217,26 @@ def iter_checkpoint(df, eager: bool = True):
     if not d:
         return df.localCheckpoint(eager=eager)
     spark = df.sparkSession
-    key = app_id(spark)
+    key = (app_id(spark), d)
     if key not in _CKPT_DIR_SET:
         spark.sparkContext.setCheckpointDir(d)
         _CKPT_DIR_SET.add(key)
-    return df.checkpoint(eager=eager)
+    if eager:
+        # Reliable checkpoint writes its files in a SEPARATE job after
+        # the materializing action, so an unpersisted lineage is
+        # computed twice per round.  Persist for the write, release
+        # immediately after — the returned frame reads the checkpoint
+        # files, not this cache.
+        df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
+    # lazy: materialization happens at the caller's next action, so a
+    # persist here could not be released deterministically (the cache
+    # contract forbids open-ended pins); lazy callers accept the
+    # double-compute on the reliable path.
+    return df.checkpoint(eager=False)
 
 
 def ckpt_eager(df):

@@ -138,12 +138,14 @@ if not _only and SF == "/root/testdata/sf0.01" and _MASTER == "local[8]":
     import os.path as _osp
 
     side = "/root/repo/SWEEP_TIMINGS.json"
-    prev = {}
+    prev, prev_steady = {}, {}
     if _osp.exists(side):
         try:
-            prev = json.load(open(side)).get("timings", {})
+            _side_doc = json.load(open(side))
+            prev = _side_doc.get("timings", {})
+            prev_steady = _side_doc.get("steady", {})
         except Exception:
-            prev = {}
+            prev, prev_steady = {}, {}
     cur = {n: round(t, 3) for n, t in timings.items()}
     raw_flags = sorted(
         n
@@ -160,6 +162,13 @@ if not _only and SF == "/root/testdata/sf0.01" and _MASTER == "local[8]":
     # flags and re-timings stay in the sidecar for audit.
     steady_retimes = {}
     regressions = []
+    # Steady (warm, same-session) times carry forward in the sidecar so
+    # a flagged op's retime is compared against a WARM baseline where
+    # one exists — retiming warm but judging against the prior sweep's
+    # cold first-execution time could auto-dismiss a genuine cold-path
+    # regression (ADVICE r13).  Cold baselines remain the fallback for
+    # ops never flagged before; raw_flags stay surfaced either way.
+    new_steady = dict(prev_steady)
     for n in raw_flags:
         ts = []
         for _ in range(2):
@@ -173,13 +182,16 @@ if not _only and SF == "/root/testdata/sf0.01" and _MASTER == "local[8]":
         steady_retimes[n] = ts
         good = [t for t in ts if t is not None]
         steady = min(good) if good else cur[n]
-        if steady >= 1.0 and steady / prev[n] > 3.0:
+        base = prev_steady.get(n) or prev[n]
+        new_steady[n] = steady
+        if steady >= 1.0 and steady / base > 3.0:
             regressions.append(n)
     with open(side, "w") as f:
         json.dump(
             {
                 "sf_dir": SF,
                 "timings": cur,
+                "steady": new_steady,
                 "regressions": regressions,
                 "raw_flags": raw_flags,
                 "steady_retimes": steady_retimes,

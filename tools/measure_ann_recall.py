@@ -104,7 +104,7 @@ def main() -> None:
         from pg_telemetry_spark.operators.ann import (
             build_ivf_index,
             ivf_topk,
-            lsh_ann_topk,
+            multitable_lsh_ann_topk,
         )
 
         for op, fn in [
@@ -123,7 +123,7 @@ def main() -> None:
                     nprobe=4,
                 ),
             ),
-            ("llm_ann_lsh", lambda: lsh_ann_topk(emb, planted, k=5, nbits=8)),
+            ("llm_ann_lsh", lambda: multitable_lsh_ann_topk(emb, planted, k=5)),
         ]:
             hits = pairs_of(fn())
             planted_recall = len(hits & want) / max(1, len(want))

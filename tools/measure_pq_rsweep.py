@@ -48,11 +48,12 @@ def sweep(path: str) -> dict[str, float]:
     exact_top = set(mids[np.lexsort((mids, mex))][:TOPK])
     order = np.lexsort((mids, madc))
     out = {}
+    # exact-distance lookup must not assume ids are sorted (searchsorted
+    # silently maps to wrong rows on any non-ascending vec_id parquet)
+    idx_of = {int(i): k for k, i in enumerate(ids)}
     for r in RS:
         short = mids[order][:r]
-        # exact distances looked up in the UNMASKED id order — the
-        # masked arrays are shifted by one past the query id
-        se = exact[np.searchsorted(ids, short)]
+        se = exact[[idx_of[int(s)] for s in short]]
         rer = set(short[np.lexsort((short, se))][:TOPK])
         out[str(r)] = len(rer & exact_top) / TOPK
         print(
