@@ -73,3 +73,45 @@ def test_reliable_checkpoint_dir_engages(spark, tmp_path):
     assert got == base
     files = [p for p in ckpt.rglob("*") if p.is_file()]
     assert files, "no reliable-checkpoint files written"
+
+
+def test_changed_checkpoint_dir_reapplied_within_one_app(spark, tmp_path):
+    """_CKPT_DIR_SET keys on (app_id, dir): changing
+    PG_TELEMETRY_SPARK_CHECKPOINT_DIR mid-app must route new
+    checkpoints into the NEW directory instead of being silently
+    ignored (ADVICE r13)."""
+    import os
+
+    from pg_telemetry_spark.session import iter_checkpoint
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    d1, d2 = tmp_path / "ckpt_a", tmp_path / "ckpt_b"
+    for d in (d1, d2):
+        os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"] = str(d)
+        try:
+            assert iter_checkpoint(df).count() == 100
+        finally:
+            del os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"]
+        files = [p for p in d.rglob("*") if p.is_file()]
+        assert files, f"no checkpoint files written under {d}"
+
+
+def test_eager_reliable_checkpoint_releases_its_persist(spark, tmp_path):
+    """iter_checkpoint persists around the eager reliable checkpoint
+    (the write is a second job) and must release that cache before
+    returning — the cache contract forbids open-ended pins."""
+    import os
+
+    from pg_telemetry_spark.session import iter_checkpoint
+
+    df = spark.range(50).withColumnRenamed("id", "v")
+    os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"] = str(tmp_path / "ck")
+    try:
+        out = iter_checkpoint(df)
+        assert out.count() == 50
+    finally:
+        del os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"]
+    lvl = df._jdf.storageLevel()
+    assert not (lvl.useMemory() or lvl.useDisk()), (
+        "eager reliable checkpoint leaked its persist on the input frame"
+    )

@@ -287,3 +287,54 @@ def test_multitable_lsh_uniform_recall_floor(spark, sf_dir):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, f"uniform-probe recall {recall} below the 0.6 gate"
+
+
+def test_lsh_plan_hypothesis_invariants():
+    """Property test over the whole (n, s_k) input space: every plan
+    respects the clamps, reports a sane expected recall/fraction, and
+    is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_telemetry_spark.operators.ann import lsh_plan
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10_000_000_000),
+        s=st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+    )
+    def check(n, s):
+        b, t, recall, frac = lsh_plan(n, s)
+        assert 6 <= b <= 14
+        assert 1 <= t <= 12
+        # recall rounds to 0.0000 on adversarial anti-similar
+        # geometry (s -> -1): honest reporting, not a plan defect
+        assert 0.0 <= recall <= 1.0
+        assert 0.0 < frac <= 12.0 * 15 / 64
+        assert lsh_plan(n, s) == (b, t, recall, frac)
+
+    check()
+
+
+def test_multitable_lsh_pinned_plan_override(spark, sf_dir):
+    """Callers can pin (nbits, tables) explicitly — the data-derived
+    solver must be bypassed and the result stay deterministic."""
+    from pg_telemetry_spark.operators.ann import multitable_lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    a = {
+        (r.probe_id, r.neighbor_id, r.sim)
+        for r in multitable_lsh_ann_topk(
+            emb, probes, k=5, nbits=8, tables=4
+        ).collect()
+    }
+    b = {
+        (r.probe_id, r.neighbor_id, r.sim)
+        for r in multitable_lsh_ann_topk(
+            emb, probes, k=5, nbits=8, tables=4
+        ).collect()
+    }
+    assert a == b and len(a) > 0
