@@ -1,0 +1,98 @@
+"""Audit the multi-table LSH cost model: predicted candidate fraction
+(lsh_plan's T*(b+1)/2^b, assuming uniform bucket occupancy) vs the
+MEASURED distinct-candidate fraction per probe on real corpora.
+
+The predicted fraction is what SCALE.md charges the operator at 100 TB;
+if measurement ran far above prediction (hot buckets) the cost story
+would be wrong even with recall green.  Prints one JSON line per
+corpus and appends a `lsh_volume` section to ANN_RECALL.json.
+
+Usage: python tools/measure_lsh_volume.py [sf_dir ...]
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from pg_telemetry_spark.operators.ann import (  # noqa: E402
+    _bucket_code_rows,
+    _hyperplanes,
+    estimate_neighbor_cos,
+    lsh_plan,
+)
+from pg_telemetry_spark.session import get_session  # noqa: E402
+from pg_telemetry_spark.tables import load_table  # noqa: E402
+
+OUT = "/root/repo/ANN_RECALL.json"
+
+DEFAULT = [
+    "/root/testdata/sf0.1",
+    "/root/repo/scaledata/sf1",
+    "/root/repo/scaledata/sf10",
+    "/root/repo/scaledata/emb_clustered_sf1",
+    "/root/repo/scaledata/emb_clustered_sf10",
+]
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or DEFAULT
+    spark = get_session("lsh-volume")
+    results: dict[str, dict] = {}
+    for sf in dirs:
+        emb = load_table(spark, sf, "embeddings")
+        n = emb.count()
+        s_k = estimate_neighbor_cos(emb)
+        nbits, tables, exp_recall, exp_frac = lsh_plan(n, s_k)
+        planes = [_hyperplanes(nbits, 64, seed=t) for t in range(tables)]
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        c_idx = _bucket_code_rows(emb, planes, "vec_id", "neighbor_id")
+        p_codes = _bucket_code_rows(probes, planes, "probe_id", "probe_id")
+        flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(nbits)])
+        p_idx = p_codes.withColumn("flip", F.explode(flips)).select(
+            "probe_id",
+            "tbl",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        )
+        cand = (
+            p_idx.join(c_idx, ["tbl", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .select("probe_id", "neighbor_id")
+        )
+        per_probe = (
+            cand.distinct()
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_cand"))
+            .agg(F.avg("n_cand").alias("avg"), F.max("n_cand").alias("mx"))
+            .head()
+        )
+        row = {
+            "n": n,
+            "s_k": s_k,
+            "nbits": nbits,
+            "tables": tables,
+            "predicted_frac": exp_frac,
+            "measured_avg_frac": round(per_probe["avg"] / max(1, n - 1), 4),
+            "measured_max_frac": round(per_probe["mx"] / max(1, n - 1), 4),
+        }
+        results[sf] = row
+        print(json.dumps({"corpus": sf, **row}), flush=True)
+    merged: dict = {}
+    try:
+        merged = json.load(open(OUT))
+    except Exception:
+        pass
+    merged.setdefault("lsh_volume", {}).update(results)
+    with open(OUT, "w") as f:
+        json.dump(merged, f, indent=1)
+    print("wrote", OUT)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
