@@ -42,8 +42,13 @@ reg = all_queries()
 # pickled-by-reference shape that dies without ship_package
 rows = reg["agg_tdigest"].fn(spark, {sf!r}).collect()
 assert len(rows) > 0, "tdigest returned no rows under local-cluster"
+# llm_ann_lsh (r14): the multi-table bucket-code kernel is a closure
+# over module state (_bucket_code_rows) — a second, different
+# pickling shape through the same shipping path
+rows2 = reg["llm_ann_lsh"].fn(spark, {sf!r}).collect()
+assert len(rows2) > 0, "multi-table LSH returned no rows under local-cluster"
 spark.stop()
-print("LOCAL_CLUSTER_OK", len(rows))
+print("LOCAL_CLUSTER_OK", len(rows) + len(rows2))
 """
 
 
