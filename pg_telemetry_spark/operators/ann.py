@@ -370,7 +370,10 @@ def estimate_neighbor_cos(
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     S = X @ X.T
     np.fill_diagonal(S, -2.0)
-    kth = np.sort(S, axis=1)[:, -k]
+    # a corpus smaller than k+1 vectors has no k-th neighbor — fall
+    # back to the farthest available (worst case -> most tables)
+    k_eff = min(k, max(1, len(rows) - 1))
+    kth = np.sort(S, axis=1)[:, -k_eff]
     return round(float(kth.mean()), 4)
 
 
