@@ -338,3 +338,17 @@ def test_multitable_lsh_pinned_plan_override(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_lsh_plan_occupancy_floor_boundary():
+    """The bucket-occupancy floor engages exactly past n = 2048·2^6:
+    below it geometry alone picks nbits; above it expected occupancy
+    n/2^b stays ≤ ~2048 (the bounded per-bucket join side)."""
+    from pg_telemetry_spark.operators.ann import lsh_plan
+
+    for n in [100, 2048, 2**17]:  # up to 2048*2^6 the floor is idle
+        assert lsh_plan(n, 0.9)[0] >= 6
+    for n, floor in [(2**18, 7), (2**20, 9), (2**24, 13)]:
+        b = lsh_plan(n, 0.9)[0]
+        assert b >= floor, f"n={n}: nbits {b} < occupancy floor {floor}"
+        assert n / (1 << b) <= 4096, "expected bucket occupancy unbounded"
