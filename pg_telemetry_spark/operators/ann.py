@@ -366,6 +366,13 @@ def estimate_neighbor_cos(
     import numpy as np
 
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    if len(rows) < 2:
+        # no pair exists to measure: np.array([...]) of 0 rows is 1-D
+        # and the axis=1 normalization would raise (ADVICE r14).
+        # Return the most conservative estimate — orthogonal neighbors
+        # (s_k = 0) provisions the maximum table count, the safe
+        # direction for recall on a corpus we know nothing about.
+        return 0.0
     X = np.array([list(r[1]) for r in rows], dtype="float64")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     S = X @ X.T
@@ -393,8 +400,21 @@ def lsh_plan(
     Among feasible plans the cheapest candidate volume
     T*(b+1)/2^b wins; if no plan is feasible within ``max_tables``,
     the highest-recall plan wins (recall-first).  ``min_bits`` is
-    raised with n so expected bucket occupancy n/2^b stays <= ~2048 —
-    the per-bucket join side must stay bounded at corpus scale.
+    raised with n so EXPECTED bucket occupancy n/2^b stays <= ~2048.
+
+    ``max_bits`` yields to the occupancy floor (ADVICE r14: a hard
+    clamp at 14 bits let expected occupancy grow unboundedly past
+    n ~ 33.5M), up to an absolute ceiling of 24 bits — plane matmul
+    cost is T*b rows, still trivial at b=24, and Hamming-1 probe
+    volume grows only linearly in b.  Past n ~ 2048 * 2^24 (~34B
+    vectors) EXPECTED occupancy grows linearly again; and on clustered
+    data expected occupancy never bounded the worst bucket anyway
+    (measured r14: worst bucket ~20% of a clustered corpus at 12
+    expected).  The per-bucket width guarantee therefore does NOT
+    come from this floor — it comes from the hot-bucket refinement
+    in :func:`build_lsh_ann_index` (r15), which splits any measured
+    over-wide bucket regardless of geometry.  The floor's job is
+    only to keep the AVERAGE bucket cheap.
 
     Returns (nbits, tables, expected_recall, expected_candidate_frac).
     Pure closed-form integer/float arithmetic on two scalars —
@@ -403,6 +423,7 @@ def lsh_plan(
 
     p = round(1.0 - math.acos(min(max(s_k, -0.999), 0.999)) / math.pi, 4)
     occupancy_bits = math.ceil(math.log2(max(n, 2) / 2048)) if n > 2048 else 0
+    max_bits = min(max(max_bits, occupancy_bits), 24)
     lo = min(max(min_bits, occupancy_bits), max_bits)
     best: tuple[int, int, float, float] | None = None
     for b in range(lo, max_bits + 1):

@@ -173,9 +173,13 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             held = {}
         touched: dict = {}
         for pdf in pdfs:
-            g = pdf.groupby("user_id")["value"].agg(["count", "sum"])
+            # "size" counts EVERY row (matching the pre-shard len(pdf)
+            # per-user semantics) where "count" silently excludes rows
+            # with a null value (ADVICE r14); pandas sum skips nulls,
+            # same as the pre-shard accumulate.
+            g = pdf.groupby("user_id").agg(n=("value", "size"), s=("value", "sum"))
             for u, cnt, sm in zip(
-                g.index.to_numpy(), g["count"].to_numpy(), g["sum"].to_numpy()
+                g.index.to_numpy(), g["n"].to_numpy(), g["s"].to_numpy()
             ):
                 n0, s0 = held.get(int(u), (0, 0.0))
                 cur = (n0 + int(cnt), s0 + float(sm))

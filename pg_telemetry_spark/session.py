@@ -191,10 +191,15 @@ def sized_shuffle(spark: SparkSession, partitions: int = 16):
         spark.conf.set(key, old)
 
 
-#: (app id, dir) pairs whose SparkContext has that checkpoint dir set —
-#: keyed on the DIR too so a changed PG_TELEMETRY_SPARK_CHECKPOINT_DIR
-#: within one app is re-applied instead of silently ignored.
-_CKPT_DIR_SET: set[tuple[str, str]] = set()
+#: app id -> LAST-APPLIED checkpoint dir.  A dict (not a set of
+#: (app, dir) pairs) because the comparison must be against what the
+#: SparkContext currently has: with a set, an A->B->A revisit of
+#: PG_TELEMETRY_SPARK_CHECKPOINT_DIR finds (app, A) already present,
+#: skips setCheckpointDir, and silently routes checkpoints into B —
+#: the exact misrouting the per-dir keying was meant to fix (ADVICE
+#: r14).  setCheckpointDir is called whenever the requested dir
+#: differs from the last one actually applied.
+_CKPT_DIR_LAST: dict[str, str] = {}
 
 
 def iter_checkpoint(df, eager: bool = True):
@@ -217,10 +222,10 @@ def iter_checkpoint(df, eager: bool = True):
     if not d:
         return df.localCheckpoint(eager=eager)
     spark = df.sparkSession
-    key = (app_id(spark), d)
-    if key not in _CKPT_DIR_SET:
+    app = app_id(spark)
+    if _CKPT_DIR_LAST.get(app) != d:
         spark.sparkContext.setCheckpointDir(d)
-        _CKPT_DIR_SET.add(key)
+        _CKPT_DIR_LAST[app] = d
     if eager:
         # Reliable checkpoint writes its files in a SEPARATE job after
         # the materializing action, so an unpersisted lineage is

@@ -76,17 +76,20 @@ def test_reliable_checkpoint_dir_engages(spark, tmp_path):
 
 
 def test_changed_checkpoint_dir_reapplied_within_one_app(spark, tmp_path):
-    """_CKPT_DIR_SET keys on (app_id, dir): changing
+    """_CKPT_DIR_LAST tracks the last-APPLIED dir per app: changing
     PG_TELEMETRY_SPARK_CHECKPOINT_DIR mid-app must route new
     checkpoints into the NEW directory instead of being silently
-    ignored (ADVICE r13)."""
+    ignored (ADVICE r13), including on an A->B->A REVISIT — the case
+    the former (app_id, dir) set keying got wrong, because (app, A)
+    was already a member the second time A came around (ADVICE r14)."""
     import os
 
     from pg_telemetry_spark.session import iter_checkpoint
 
     df = spark.range(100).withColumnRenamed("id", "v")
     d1, d2 = tmp_path / "ckpt_a", tmp_path / "ckpt_b"
-    for d in (d1, d2):
+    counts: dict = {}
+    for d in (d1, d2, d1):  # third leg REVISITS d1
         os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"] = str(d)
         try:
             assert iter_checkpoint(df).count() == 100
@@ -94,6 +97,13 @@ def test_changed_checkpoint_dir_reapplied_within_one_app(spark, tmp_path):
             del os.environ["PG_TELEMETRY_SPARK_CHECKPOINT_DIR"]
         files = [p for p in d.rglob("*") if p.is_file()]
         assert files, f"no checkpoint files written under {d}"
+        prev = counts.get(str(d))
+        if prev is not None:
+            assert len(files) > prev, (
+                f"revisited dir {d} received no NEW checkpoint data — "
+                "the checkpoint was misrouted to the previous dir"
+            )
+        counts[str(d)] = len(files)
 
 
 def test_eager_reliable_checkpoint_releases_its_persist(spark, tmp_path):

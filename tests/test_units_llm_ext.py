@@ -263,6 +263,11 @@ def test_lsh_plan_properties():
     assert lsh_plan(100_000, 0.9)[2] >= 0.75
     # occupancy floor: 10M vectors cannot use 6-bit buckets
     assert lsh_plan(10_000_000, 0.5)[0] >= 13
+    # the floor is no longer clamped at 14 bits (ADVICE r14): 10B
+    # vectors need ceil(log2(10e9/2048)) = 23 bits to keep EXPECTED
+    # occupancy <= 2048, and the plan provides them (ceiling 24)
+    assert lsh_plan(10_000_000_000, 0.5)[0] == 23
+    assert lsh_plan(10**15, 0.5)[0] == 24  # absolute ceiling
     # determinism
     assert lsh_plan(12345, 0.4321) == lsh_plan(12345, 0.4321)
 
@@ -305,7 +310,7 @@ def test_lsh_plan_hypothesis_invariants():
     )
     def check(n, s):
         b, t, recall, frac = lsh_plan(n, s)
-        assert 6 <= b <= 14
+        assert 6 <= b <= 24  # occupancy floor may exceed 14 (ADVICE r14)
         assert 1 <= t <= 12
         # recall rounds to 0.0000 on adversarial anti-similar
         # geometry (s -> -1): honest reporting, not a plan defect
@@ -352,3 +357,23 @@ def test_lsh_plan_occupancy_floor_boundary():
         b = lsh_plan(n, 0.9)[0]
         assert b >= floor, f"n={n}: nbits {b} < occupancy floor {floor}"
         assert n / (1 << b) <= 4096, "expected bucket occupancy unbounded"
+    # past the former max_bits=14 clamp the floor keeps holding up to
+    # the 24-bit ceiling (ADVICE r14): expected occupancy stays <=
+    # ~2048 through 2^35 vectors
+    for n in [2**28, 2**32, 2**35]:
+        b = lsh_plan(n, 0.9)[0]
+        assert n / (1 << b) <= 4096, f"n={n}: occupancy {n / (1 << b)}"
+
+
+def test_estimate_neighbor_cos_degenerate_corpora(spark):
+    """Empty and single-row corpora return the conservative s_k = 0.0
+    (max tables) instead of crashing on the 1-D array normalization
+    (ADVICE r14)."""
+    from pg_telemetry_spark.operators.ann import estimate_neighbor_cos
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert estimate_neighbor_cos(empty) == 0.0
+    one = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    assert estimate_neighbor_cos(one) == 0.0

@@ -477,3 +477,36 @@ def test_transform_with_state_successor_api(spark, sf_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_stateful_counts_null_value_rows(spark, tmp_path):
+    """An event row whose `value` is NULL still counts toward
+    n_events (ADVICE r14: the shard-salted pandas groupby used
+    "count", which silently excludes null values — the pre-shard code
+    counted every row with len(pdf)).  Sums skip the null, as before.
+    End-to-end through str_stateful against a tiny synthetic sf_dir."""
+    import datetime as dtm
+
+    from pg_telemetry_spark.queries.streaming_ops import str_stateful
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, dtm.datetime(2024, 1, 1, 10), 7, "view", 2.0, None),
+        (2, dtm.datetime(2024, 1, 1, 11), 7, "view", None, None),
+        (3, dtm.datetime(2024, 1, 2, 9), 7, "view", 3.0, None),
+        (4, dtm.datetime(2024, 1, 1, 12), 8, "view", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "null_sf")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in str_stateful(spark, sf).collect()
+    }
+    # user 7: 3 events across both batches (one null value), sum 5.0;
+    # user 8: 1 event whose only value is null -> count 1, sum 0.0
+    assert got == {7: (3, 5.0), 8: (1, 0.0)}

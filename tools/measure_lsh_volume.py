@@ -71,14 +71,19 @@ def main() -> None:
             .agg(F.avg("n_cand").alias("avg"), F.max("n_cand").alias("mx"))
             .head()
         )
+        # a degenerate corpus can yield ZERO candidate pairs, in which
+        # case avg/max aggregate to None (ADVICE r14) — report 0.0
+        # instead of aborting the whole sweep on a TypeError
+        avg = per_probe["avg"] if per_probe["avg"] is not None else 0.0
+        mx = per_probe["mx"] if per_probe["mx"] is not None else 0
         row = {
             "n": n,
             "s_k": s_k,
             "nbits": nbits,
             "tables": tables,
             "predicted_frac": exp_frac,
-            "measured_avg_frac": round(per_probe["avg"] / max(1, n - 1), 4),
-            "measured_max_frac": round(per_probe["mx"] / max(1, n - 1), 4),
+            "measured_avg_frac": round(avg / max(1, n - 1), 4),
+            "measured_max_frac": round(mx / max(1, n - 1), 4),
         }
         results[sf] = row
         print(json.dumps({"corpus": sf, **row}), flush=True)
