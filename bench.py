@@ -406,7 +406,23 @@ def _run_suite(
     """Returns (spark, timings) — the session may have been revived
     mid-leg, so callers must adopt the returned handle."""
     _warm_fixtures(spark, sf_dir)
-    _prebuild_incr_index(spark, names, sf_dir)
+    try:
+        _prebuild_incr_index(spark, names, sf_dir)
+    except Exception as pex:
+        # same fault isolation as the mid-leg revival prebuild: an
+        # untimed warm-up dying (r15: a driver broadcast OOM in the
+        # sf10 dedup probe on a FRESH 16g JVM — a GC-timing knife
+        # edge) must cost a recorded failure + cold first rows, never
+        # the whole leg/artifact.
+        _FAILURES[f"{sf_dir}:_initial_prebuild"] = (
+            f"{type(pex).__name__}: {str(pex)[:160]}"
+        )
+        print(
+            f"BENCH initial prebuild failed [{sf_dir}]: "
+            f"{type(pex).__name__} — continuing cold",
+            file=sys.stderr,
+        )
+        spark = _revive(spark)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -547,9 +563,23 @@ def _scale_curve(spark, registry, names) -> dict | None:
     if os.environ.get("SPARK_GRAFT_SCALE3", "") == "1" and os.path.isdir(sf10_dir):
         cold()
         spark = _fresh(spark)
+        # SPLIT-SESSION sf10 leg (r15, the BASELINE.md escalation rule
+        # fired twice: llm_semdedup read 63.0 s in-suite r14 and
+        # 34.7 s r15 vs a 10.0-13.3 s solo steady band — heap churn
+        # accumulating over a 150+-query single-JVM leg, GCLocker
+        # retries clustering in the back half).  A fresh JVM for the
+        # back half bounds the churn to ~75 queries; startup is
+        # untimed, so rows stay honest.
+        half = len(names) // 2
         spark, hi10 = _run_suite(
-            spark, registry, names, sf10_dir, "noop", gc_between=True
+            spark, registry, names[:half], sf10_dir, "noop", gc_between=True
         )
+        cold()
+        spark = _fresh(spark)
+        spark, hi10b = _run_suite(
+            spark, registry, names[half:], sf10_dir, "noop", gc_between=True
+        )
+        hi10.update(hi10b)
         _checkpoint("curve_sf10", hi10)
         _checkpoint("failures", _FAILURES)
         out["sf10"] = {
