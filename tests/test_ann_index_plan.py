@@ -229,3 +229,44 @@ def test_hot_bucket_split_bounds_width_and_point_mass_cap(spark):
     # have been capped at exactly abs_cap in at least one table
     capped = widths.filter((F.col("sub") >= 0) & (F.col("w") == 200))
     assert capped.count() > 0, "point-mass sub-bucket was not hash-sampled to the cap"
+
+
+def test_probe_and_index_kernels_agree_and_subs_are_query_directed(spark):
+    """Kernel-level contracts of the r15 refinement split: for the
+    same vector, probe and index kernels produce identical (tbl,
+    bucket) base codes and the probe's FIRST sub equals the index
+    row's ref code (so a hot-bucket member always finds itself);
+    every sub list holds sub_probes DISTINCT codes, each within
+    Hamming-1 of the exact refinement code."""
+    import numpy as np
+
+    from pg_telemetry_spark.operators.ann import (
+        _index_code_rows,
+        _probe_code_rows,
+    )
+
+    rows = []
+    for i in range(50):
+        v = np.array([((i * 13 + d) % 17 - 8) / 8.0 for d in range(64)])
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes, ref_planes = _planes(8, 3)
+    idx = {
+        (r.id, r.tbl): (r.bucket, r.ref)
+        for r in _index_code_rows(vecs, planes, ref_planes, "vec_id", "id").collect()
+    }
+    probe = {
+        (r.vec_id, r.tbl): (r.bucket, list(r.subs))
+        for r in _probe_code_rows(vecs, planes, ref_planes, 8, "vec_id").collect()
+    }
+    assert set(idx) == set(probe) and len(idx) == 50 * 3
+    for key, (bucket, ref) in idx.items():
+        p_bucket, subs = probe[key]
+        assert p_bucket == bucket, f"{key}: base codes disagree"
+        assert subs[0] == ref, f"{key}: first sub != exact refinement code"
+        assert len(set(subs)) == len(subs) == 8, f"{key}: subs not distinct"
+        for s in subs[1:]:
+            diff = s ^ ref
+            assert diff != 0 and (diff & (diff - 1)) == 0, (
+                f"{key}: sub {s} not a single-bit flip of {ref}"
+            )
