@@ -318,6 +318,9 @@ HEADLINE = [
     "wl_link_prediction",
     "fn_struct",
     "ts_rolling_median",
+    # round-16: ANN hot-set compaction + index-selection crossover
+    "llm_ann_compact",
+    "llm_ann_route",
 ]
 
 
@@ -414,7 +417,11 @@ def _run_suite(
         # sf10 dedup probe on a FRESH 16g JVM — a GC-timing knife
         # edge) must cost a recorded failure + cold first rows, never
         # the whole leg/artifact.
-        _FAILURES[f"{sf_dir}:_initial_prebuild"] = (
+        # key includes the leg's first query so the two halves of a
+        # split sf10 leg (same sf_dir, disjoint name lists) record
+        # their prebuild failures under DISTINCT keys (ADVICE r15)
+        leg_tag = names[0] if names else "empty"
+        _FAILURES[f"{sf_dir}:_initial_prebuild:{leg_tag}"] = (
             f"{type(pex).__name__}: {str(pex)[:160]}"
         )
         print(

@@ -447,6 +447,63 @@ def lsh_plan(
     return best
 
 
+#: Candidate-fraction crossover above which the solved LSH plan is
+#: judged not to earn its index (VERDICT r15 #2).  Justified by the
+#: measured fractions per geometry (ANN_RECALL.json `lsh_volume`,
+#: r15): clustered corpora (s_k ~ 0.80) plan at predicted frac 0.006
+#: and measure 0.05-0.14 post-split — the index removes >= 86% of the
+#: scan and stays.  Isotropic corpora (s_k ~ 0.32, near-random
+#: neighbors) plan at 0.42 predicted / 0.36-0.41 measured at recall
+#: 0.86-0.98: a <= 2.8x scan reduction that costs T-table index
+#: build/maintenance plus a recall loss — brute-force-adjacent volume
+#: wearing an index.  0.25 demands at least a 4x reduction before the
+#: machinery is paid for.
+LSH_MAX_CANDIDATE_FRAC = 0.25
+
+
+def ann_route(
+    n: int,
+    s_k: float,
+    target_recall: float = 0.75,
+    max_candidate_frac: float = LSH_MAX_CANDIDATE_FRAC,
+) -> tuple[str, int, int, float, float]:
+    """Index-selection crossover (VERDICT r15 #2): given the corpus
+    size and the measured k-NN cosine (:func:`estimate_neighbor_cos`),
+    decide whether the solved LSH plan earns its index.  Returns
+    ``(method, nbits, tables, expected_recall, expected_frac)`` with
+    ``method`` one of:
+
+    - ``"lsh"`` — the solved plan's expected candidate fraction is
+      <= ``max_candidate_frac``: the index removes >= 1/frac of the
+      scan at target recall; build/probe via
+      :func:`multitable_lsh_ann_topk` (one-shot) or
+      :func:`build_lsh_ann_index` (materialized).
+    - ``"exact"`` — the plan would probe more than
+      ``max_candidate_frac`` of the corpus per query (isotropic
+      geometry: measured 0.36-0.41 at s_k ~ 0.32).  Exact brute-force
+      cosine top-k (operators/similarity.brute_force_topk /
+      llm_cosine_topk) scans 2.5-4x more volume but returns recall
+      1.0 with ZERO index build, maintenance, or hot-set machinery —
+      the honest trade when neighbors are near-random.  Notably
+      IVF-kmeans is NOT the fallback here: its measured isotropic
+      operating point (recall 0.86 at nprobe 10 of 16 cells) scans
+      ~0.63 of the corpus — MORE volume than the LSH plan it would
+      replace (ANN_RECALL.json).  IVF-kmeans remains the right pick
+      when the corpus clusters but the T-times-n row footprint of the
+      multi-table LSH index is the binding constraint.
+
+    Pure closed-form arithmetic on two scalars (deterministic
+    everywhere); the routing rule is documented in SCALE.md and in
+    ``llm_ann_lsh``'s docstring.  The registered fixture queries pin
+    their method explicitly (goldens unchanged by design) —
+    ``llm_ann_route`` surfaces this decision as a queryable table."""
+    nbits, tables, exp_recall, exp_frac = lsh_plan(
+        n, s_k, target_recall=target_recall
+    )
+    method = "lsh" if exp_frac <= max_candidate_frac else "exact"
+    return method, nbits, tables, exp_recall, exp_frac
+
+
 def _bucket_code_rows(
     vectors: DataFrame,
     planes,
@@ -515,9 +572,29 @@ REF_BITS = 16
 SUB_PROBES = 8
 #: Hard per-(tbl, bucket, sub) width cap.  Refinement cannot split a
 #: POINT MASS (identical vectors share every refinement bit); past
-#: this width members are deterministically hash-sampled, which for a
-#: point mass drops only sim-ties — never a distinguishable neighbor.
+#: this width members are deterministically hash-sampled.  The
+#: "drops only sim-ties" guarantee is a POINT-MASS guarantee only
+#: (ADVICE r15): a tight-but-nonzero-sigma cluster can also share one
+#: refinement code, and there the sample can drop genuinely
+#: distinguishable near neighbors from that TABLE's sub-bucket.  The
+#: stated recall mitigation is the measured multi-table redundancy —
+#: each table's refinement planes are seed-disjoint, so a neighbor
+#: sampled out of one table's capped sub-bucket survives in the
+#: others (the r15 clustered recall 0.90/0.96 was measured WITH the
+#: cap engaged on the point-mass fixture).
 ABS_WIDTH_CAP = 4096
+#: Ceiling on the EXPECTED deduped candidate rows (probes x
+#: per-probe candidate fraction x corpus) under which the one-shot
+#: path broadcasts its probe-derived frames (ADVICE r15: the public
+#: one-shot API accepts arbitrarily large probe sets, and a
+#: broadcast cand frame scales with them).  4M (probe_id,
+#: neighbor_id) longs ~ 64 MB raw / low hundreds of MB as a hashed
+#: relation — comfortably inside the 16 GB bench driver, an order of
+#: magnitude under the measured r15 driver-broadcast OOM territory.
+#: Every measured operating point sits far below it (sf10 isotropic:
+#: 10 probes x 0.363 x 200k ~ 726k rows); past it the probe falls
+#: back to shuffle joins, the pre-r15 graceful-degrade shape.
+BROADCAST_CAND_ROWS_MAX = 4_000_000
 
 
 def hot_bucket_width(n: int) -> int:
@@ -741,9 +818,15 @@ def lsh_ann_index_delta(
     pass over O(delta) rows); members of already-hot buckets carry
     their refinement code, members of cold buckets carry sub = -1.
     A bucket that CROSSES hot_width because of this delta is re-split
-    at the next compaction (the stats-table merge names it); until
-    then its probes see the pre-split semantics — recall-neutral,
-    width transiently above the cap by at most the delta size."""
+    by the next :func:`lsh_ann_compact` run (which detects crossings
+    from the index's own cold-bucket widths); until then its probes
+    see the pre-split semantics — recall-neutral, width transiently
+    above the threshold by at most the delta size.  Likewise a HOT
+    sub-bucket's delta rows append UNCAPPED (capping here would need
+    the existing members' hashes); compaction re-applies the cap.
+    The append+compact composition is pinned equal to a fresh
+    rebuild on an EVOLVING hot set by
+    tests/test_ann_index_plan.py::test_ann_compact_equals_rebuild_on_evolving_hot_set."""
     codes = _index_code_rows(new_vectors, planes, ref_planes, id_col, "id", vec_col)
     return codes.join(
         F.broadcast(hot.withColumn("_hot", F.lit(True))), ["tbl", "bucket"], "left"
@@ -753,6 +836,131 @@ def lsh_ann_index_delta(
         "bucket",
         F.when(F.col("_hot"), F.col("ref")).otherwise(F.lit(-1)).alias("sub"),
     )
+
+
+def lsh_ann_compact(
+    index: DataFrame,
+    hot: DataFrame,
+    vectors: DataFrame,
+    planes,
+    ref_planes,
+    hot_width: int,
+    abs_cap: int = ABS_WIDTH_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Hot-set-evolution compaction of a materialized ANN index
+    (VERDICT r15 #1 — the promise ``lsh_ann_index_delta`` names):
+    returns ``(new_index, new_hot, touched)``.
+
+    Two kinds of drift accumulate under append-only maintenance and
+    are repaired here, each detected from the INDEX'S OWN stats (no
+    re-code of the corpus):
+
+    1. **Crossing buckets** — a cold bucket whose width grew past
+       ``hot_width`` through deltas.  Cold rows are never sampled, so
+       the cold-row count IS the true width.  Crossing buckets are
+       re-split from their STORED vectors: one bounded matmul pass
+       over only the affected members, then the same per-(tbl,
+       bucket, sub) hash-sample cap as the fresh build.
+    2. **Over-cap sub-buckets** — a hot sub-bucket whose width grew
+       past ``abs_cap`` through uncapped delta appends.  Re-capped by
+       the same deterministic xxhash64 window; because the window
+       order is a pure function of ``id``, re-capping the (survivors
+       + deltas) superset yields exactly the rows a fresh build over
+       base+delta would keep (any row in the fresh build's top-cap
+       ranks within the top-cap of every subset containing it).
+
+    Bounded by construction: the width scans are two aggregations
+    over the index (metadata-light — at 100 TB they run on the
+    Parquet index, not the vectors), and the rewrite touches only the
+    ``touched`` (tbl, bucket) partitions — crossing buckets plus the
+    over-cap sub-buckets' parents.  Every other index row passes
+    through untouched, so a partition-overwrite write
+    (``partitionOverwriteMode=dynamic`` on an index laid out by
+    (tbl, bucket)) rewrites O(crossings + overflows) partitions, not
+    the index.  Compaction cadence bounds the affected-member matmul:
+    each crossing bucket holds at most hot_width + its deltas-since-
+    last-compaction members.
+
+    Hot-set monotonicity: under append-only maintenance widths only
+    grow, so ``new_hot`` = ``hot`` ∪ crossings equals a fresh
+    rebuild's hot set at the same ``hot_width`` — which is what makes
+    append+delta+compact == fresh rebuild provable (the unit pin).  A
+    hot bucket can fall below a GROWN threshold only via deletes or a
+    raised ``hot_width``; it then stays split (recall-neutral, probe
+    cost marginally above a fresh rebuild's) until a full rebuild —
+    splitting is the safe direction, un-splitting is rebuild-only."""
+    crossing = ckpt_eager(
+        index.filter(F.col("sub") < 0)
+        .groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("width"))
+        .filter(F.col("width") > hot_width)
+        .select("tbl", "bucket")
+    )
+    overcap = ckpt_eager(
+        index.filter(F.col("sub") >= 0)
+        .groupBy("tbl", "bucket", "sub")
+        .agg(F.count("*").alias("width"))
+        .filter(F.col("width") > abs_cap)
+        .select("tbl", "bucket", "sub")
+    )
+    if crossing.count() == 0 and overcap.count() == 0:
+        # nothing drifted — the compaction is a no-op and the index
+        # passes through untouched (the common steady-state outcome)
+        touched = crossing.select("tbl", "bucket")  # empty
+        return index, hot, touched
+    kept = (
+        index.join(
+            F.broadcast(crossing.withColumn("_cross", F.lit(True))),
+            ["tbl", "bucket"],
+            "left",
+        )
+        .join(
+            F.broadcast(overcap.withColumn("_over", F.lit(True))),
+            ["tbl", "bucket", "sub"],
+            "left",
+        )
+        .filter(F.col("_cross").isNull() & F.col("_over").isNull())
+        .select("id", "tbl", "bucket", "sub")
+    )
+    w = Window.partitionBy("tbl", "bucket", "sub").orderBy(
+        F.xxhash64(F.col("id"), F.lit(17)), F.col("id")
+    )
+    # crossing buckets: re-code only their members (ids from the
+    # index, vectors from the stored vector table), keep the rows
+    # whose (tbl, bucket) is a crossing, split by refinement code
+    aff_ids = (
+        index.join(F.broadcast(crossing), ["tbl", "bucket"])
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    aff_vecs = vectors.join(F.broadcast(aff_ids), id_col)
+    resplit = (
+        _index_code_rows(aff_vecs, planes, ref_planes, id_col, "id", vec_col)
+        .join(F.broadcast(crossing), ["tbl", "bucket"])
+        .select("id", "tbl", "bucket", F.col("ref").alias("sub"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= abs_cap)
+        .drop("_rn")
+    )
+    recapped = (
+        index.join(F.broadcast(overcap), ["tbl", "bucket", "sub"])
+        .select("id", "tbl", "bucket", "sub")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= abs_cap)
+        .drop("_rn")
+    )
+    new_index = kept.unionByName(resplit).unionByName(recapped)
+    new_hot = hot.select("tbl", "bucket").unionByName(
+        crossing.select("tbl", "bucket")
+    )
+    touched = (
+        crossing.select("tbl", "bucket")
+        .unionByName(overcap.select("tbl", "bucket"))
+        .distinct()
+    )
+    return new_index, new_hot, touched
 
 
 def lsh_ann_probe(
@@ -767,6 +975,7 @@ def lsh_ann_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    broadcast_probe_side: bool = True,
 ) -> DataFrame:
     """Probe a :func:`build_lsh_ann_index` index: (probe_id,
     neighbor_id, sim) exact-scored top-k over the bounded candidate
@@ -775,13 +984,29 @@ def lsh_ann_probe(
     Probe shape: Hamming-1 multiprobe on the BASE bucket exactly as
     before; each probed (tbl, bucket) that is in ``hot`` additionally
     explodes into ``sub_probes`` query-directed refinement sub-codes
-    (cold buckets probe sub = -1).  Every probe-derived frame is
-    BROADCAST, so the index and the corpus vector table are touched
-    only on the streamed side of BroadcastHashJoins — no shuffle ever
-    carries index rows, the same O(delta + collisions) contract as
+    (cold buckets probe sub = -1).  With ``broadcast_probe_side``
+    (the default) every probe-derived frame is BROADCAST, so the
+    index and the corpus vector table are touched only on the
+    streamed side of BroadcastHashJoins — no shuffle ever carries
+    index rows, the same O(delta + collisions) contract as
     ``incremental_near_duplicates`` (plan-pinned by
     tests/test_ann_index_plan.py).  Candidate pairs dedup across
-    tables BEFORE the one join that attaches vectors."""
+    tables BEFORE the one join that attaches vectors.
+
+    The broadcast path assumes a DELTA-SIZED probe batch (the
+    llm_ann_incr maintenance contract): the deduped candidate frame
+    scales as O(probes x candidates-per-probe), so a bulk probe set
+    can exceed the driver's broadcast budget where the pre-r15
+    shuffle join degraded gracefully (ADVICE r15).  Pass
+    ``broadcast_probe_side=False`` for bulk probing — every
+    probe-derived join then falls back to the planner's shuffle
+    strategy (results identical; the exchange-free plan pin holds
+    only on the broadcast path).  :func:`multitable_lsh_ann_topk`
+    sets the flag automatically from its solved candidate volume
+    (:data:`BROADCAST_CAND_ROWS_MAX`); the ``hot`` list stays
+    broadcast unconditionally — it is bounded small by construction
+    (at most n/hot_width rows)."""
+    bcast = F.broadcast if broadcast_probe_side else (lambda df: df)
     nbits = len(planes[0])
     p = _probe_code_rows(probes, planes, ref_planes, sub_probes, probe_id_col, vec_col)
     flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(nbits)])
@@ -805,7 +1030,7 @@ def lsh_ann_probe(
         ).alias("sub"),
     )
     cand = (
-        index.join(F.broadcast(p_idx), ["tbl", "bucket", "sub"])
+        index.join(bcast(p_idx), ["tbl", "bucket", "sub"])
         .filter(F.col("id") != F.col(probe_id_col))
         .select(probe_id_col, F.col("id").alias("neighbor_id"))
         .distinct()
@@ -815,8 +1040,8 @@ def lsh_ann_probe(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
     scored = (
-        cv.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(pv), probe_id_col)
+        cv.join(bcast(cand), "neighbor_id")
+        .join(bcast(pv), probe_id_col)
         .select(
             probe_id_col,
             "neighbor_id",
@@ -866,6 +1091,19 @@ def multitable_lsh_ann_topk(
     index, hot = build_lsh_ann_index(
         corpus, planes, ref_planes, id_col=id_col, vec_col=vec_col, n=n
     )
+    # broadcast gate (ADVICE r15): the probe-derived candidate frame
+    # is ~ n_probes x candidate_frac x n rows; broadcast it only while
+    # that stays under BROADCAST_CAND_ROWS_MAX.  The frac bound is
+    # max(plan expected volume T*(b+1)/2^b, the 0.15 post-split
+    # worst-probe ceiling): the expected formula tracks isotropic
+    # geometry within ~5% (predicted 0.42, measured max 0.41) but
+    # under-predicts clustered corpora, where the measured worst
+    # probe after the hot-bucket split is the 0.10-0.14 band under
+    # the declared 0.15 cap (ANN_RECALL.json lsh_volume).
+    n_probes = probes.count()  # bounded scalar
+    exp_frac = max(
+        min(1.0, tables * (nbits + 1) / float(1 << nbits)), 0.15
+    )
     return lsh_ann_probe(
         index,
         hot,
@@ -877,4 +1115,5 @@ def multitable_lsh_ann_topk(
         id_col=id_col,
         vec_col=vec_col,
         probe_id_col=probe_id_col,
+        broadcast_probe_side=n_probes * exp_frac * n <= BROADCAST_CAND_ROWS_MAX,
     )

@@ -72,6 +72,14 @@ COVERING_TESTS = {
         "tests.test_ann_index_plan",
         "test_ann_incr_probe_equals_one_shot_and_recall_floor",
     ),
+    "llm_ann_compact": (
+        "tests.test_ann_index_plan",
+        "test_ann_compact_equals_rebuild_on_evolving_hot_set",
+    ),
+    "llm_ann_route": (
+        "tests.test_ann_index_plan",
+        "test_ann_route_crossover",
+    ),
     "llm_bpe_train": ("tests.test_units_bpe", "test_bpe_train_matches_python_reference"),
     "llm_bpe_apply": ("tests.test_units_bpe", "test_bpe_apply_matches_python_reference"),
     "llm_dedup_cc": ("tests.test_units_llm", "test_connected_components_match_union_find"),
