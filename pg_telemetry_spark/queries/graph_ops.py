@@ -31,10 +31,35 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pg_telemetry_spark.session import ckpt_eager
+from pg_telemetry_spark.session import ckpt_eager, sized_shuffle
 from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
+
+#: Per-round broadcast gate for the iterative ops (optimization r16,
+#: guide §3.1/§2.4).  Each round of PageRank / label propagation /
+#: BFS / k-core joins the (persisted) edge list against a per-VERTEX
+#: frame (ranks, labels, frontier, survivor set).  As a shuffle join
+#: that re-exchanges the edge list every round — measured at sf0.1:
+#: wl_pagerank ran 46 jobs / 679 tasks for 8 rounds, most of them
+#: exchange-materialization stages over an unchanged edge table.
+#: Broadcasting the per-vertex side instead streams the edges through
+#: a BroadcastHashJoin, leaving ONE shuffle per round (the
+#: destination-keyed aggregation / distinct that the algorithm
+#: fundamentally requires).  The hint is gated on the measured vertex
+#: count: 5M rows of (long, double) is ~80 MB framed — comfortably
+#: inside executor memory and far under Spark's 8 GB / 512M-row
+#: broadcast cap — while a bigger graph falls back to the old
+#: shuffle-join plan unchanged.  At 100 TB the vertex set exceeds the
+#: gate and the fallback is exercised; the bound is data-derived, not
+#: a local-mode constant.
+_BCAST_VERTEX_CAP = 5_000_000
+
+
+def _vertex_side(df: DataFrame, n_vertices: int) -> DataFrame:
+    """Broadcast-hint a per-vertex round frame when it is provably
+    small (see _BCAST_VERTEX_CAP); otherwise return it unchanged."""
+    return F.broadcast(df) if n_vertices <= _BCAST_VERTEX_CAP else df
 
 _MONTH_LO = "1997-03-01"
 _MONTH_HI = "1997-04-01"
@@ -188,22 +213,35 @@ def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 0.85
     ranks = deg.select("u", F.lit(1.0 / n_v).alias("rank"))
     edges_deg = sym.join(deg, "u").persist()
-    for _ in range(8):
-        contribs = (
-            edges_deg.join(ranks, "u")
-            .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("u")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        new_ranks = contribs.select(
-            "u", (F.lit((1.0 - d) / n_v) + F.lit(d) * F.col("inflow")).alias("rank")
-        )
-        # localCheckpoint TRUNCATES the lineage (persist alone does
-        # not: the logical tree still compounds per round and its
-        # explain string alone OOMs a default driver by round 8); on
-        # a real cluster swap in reliable checkpointing to survive
-        # executor loss
-        ranks = new_ranks.transform(ckpt_eager)
+    # Optimization r16: the per-round join ships the RANKS side as a
+    # broadcast (gated on the measured n_v, see _BCAST_VERTEX_CAP) so
+    # the persisted edge table is never re-exchanged — each round is
+    # then exactly ONE shuffle (the destination groupBy), and the
+    # shuffle itself is capped by sized_shuffle (per-round state is
+    # n_v rows; 200/32 near-empty partitions per round cost more in
+    # fixed per-partition work than the data).  Plan diff: the round
+    # join went SortMergeJoin(exchange, exchange) -> BroadcastHashJoin
+    # (plans/r16/wl_pagerank_{before,after}.txt).
+    with sized_shuffle(spark, adaptive=False):
+        for _ in range(8):
+            contribs = (
+                edges_deg.join(_vertex_side(ranks, n_v), "u")
+                .select(
+                    F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c")
+                )
+                .groupBy("u")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            new_ranks = contribs.select(
+                "u",
+                (F.lit((1.0 - d) / n_v) + F.lit(d) * F.col("inflow")).alias("rank"),
+            )
+            # localCheckpoint TRUNCATES the lineage (persist alone does
+            # not: the logical tree still compounds per round and its
+            # explain string alone OOMs a default driver by round 8); on
+            # a real cluster swap in reliable checkpointing to survive
+            # executor loss
+            ranks = new_ranks.transform(ckpt_eager)
     out = (
         ranks.select(F.col("u").alias("part"), F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), "part")
@@ -237,18 +275,28 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = pin(sym)
     labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
-    for _ in range(5):
-        nbr = sym.join(
-            labels.select(F.col("u").alias("v"), "label"), "v"
-        ).select("u", "label")
-        cnt = nbr.groupBy("u", "label").agg(F.count("*").alias("c"))
-        best = F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("b")
-        labels = (
-            cnt.groupBy("u")
-            .agg(best)
-            .select("u", (-F.col("b.nl")).alias("label"))
-            .transform(ckpt_eager)
-        )
+    # One bounded scalar (the vertex count) gates the per-round
+    # broadcast of the labels frame — same shape as wl_pagerank: the
+    # pinned edge list streams through a BroadcastHashJoin instead of
+    # being re-exchanged every round, and the two per-round
+    # aggregations shuffle under sized_shuffle (optimization r16).
+    n_v = labels.count()
+    with sized_shuffle(sym.sparkSession, adaptive=False):
+        for _ in range(5):
+            nbr = sym.join(
+                _vertex_side(labels.select(F.col("u").alias("v"), "label"), n_v),
+                "v",
+            ).select("u", "label")
+            cnt = nbr.groupBy("u", "label").agg(F.count("*").alias("c"))
+            best = F.max(
+                F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("b")
+            labels = (
+                cnt.groupBy("u")
+                .agg(best)
+                .select("u", (-F.col("b.nl")).alias("label"))
+                .transform(ckpt_eager)
+            )
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_members"), F.min("u").alias("min_part"))
@@ -288,18 +336,25 @@ def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(ckpt_eager)
     )
     n_prev = sym.count()
-    for _ in range(30):
-        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("u")
-        sym = (
-            sym.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .transform(ckpt_eager)
-        )
-        n = sym.count()  # 1-row convergence scalar per round (bounded)
-        if n == n_prev:
-            break
-        n_prev = n
+    # Survivor set <= vertex count <= 2x the edge count already in
+    # hand — broadcast both semi-joins under the same gate as
+    # wl_pagerank, so the (checkpointed) edge table is filtered in
+    # place instead of re-exchanged twice per peel round; the degree
+    # aggregation is the round's one shuffle (optimization r16).
+    with sized_shuffle(sym.sparkSession, adaptive=False):
+        for _ in range(30):
+            deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("u")
+            keep = _vertex_side(keep, 2 * n_prev)
+            sym = (
+                sym.join(keep, "u", "left_semi")
+                .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                .transform(ckpt_eager)
+            )
+            n = sym.count()  # 1-row convergence scalar per round (bounded)
+            if n == n_prev:
+                break
+            n_prev = n
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     return deg.agg(
         F.count("*").alias("n_core_vertices"),
@@ -332,26 +387,40 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = pin(sym)
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    # Bounded scalar: the vertex count gates the per-hop broadcasts
+    # (frontier and visited are both <= n_v rows) so the pinned edge
+    # table streams through BroadcastHashJoins each hop instead of
+    # being re-exchanged; the frontier distinct is the hop's one
+    # shuffle, capped by sized_shuffle (optimization r16).
+    n_v = deg.count()
     src = (
         deg.agg(F.max(F.struct(F.col("d"), (-F.col("u")).alias("nu"))).alias("b"))
         .select((-F.col("b.nu")).alias("u"))
     )
     visited = src.select("u", F.lit(0).alias("hop")).transform(ckpt_eager)
     frontier = visited.select("u")
-    for hop in range(1, 11):
-        nxt = (
-            sym.join(frontier, "u", "left_semi")
-            .select(F.col("v").alias("u"))
-            .distinct()
-            .join(visited.select("u"), "u", "left_anti")
-        )
-        nxt = nxt.transform(ckpt_eager)
-        if nxt.count() == 0:  # 1-row scalar per hop (bounded)
-            break
-        visited = visited.unionByName(
-            nxt.select("u", F.lit(hop).alias("hop"))
-        ).transform(ckpt_eager)
-        frontier = nxt
+    with sized_shuffle(sym.sparkSession, adaptive=False):
+        for hop in range(1, 11):
+            nxt = (
+                sym.join(_vertex_side(frontier, n_v), "u", "left_semi")
+                .select(F.col("v").alias("u"))
+                .distinct()
+                .join(_vertex_side(visited.select("u"), n_v), "u", "left_anti")
+            )
+            nxt = nxt.transform(ckpt_eager)
+            if nxt.count() == 0:  # 1-row scalar per hop (bounded)
+                break
+            # coalesce before the checkpoint: the union adds nxt's
+            # partitions to visited's EVERY hop, so the checkpointed
+            # visited set otherwise accumulates ~hops x width blocks
+            # and every later anti-join scan pays the stack (narrow
+            # coalesce — no shuffle; 16 matches the sized_shuffle cap)
+            visited = (
+                visited.unionByName(nxt.select("u", F.lit(hop).alias("hop")))
+                .coalesce(16)
+                .transform(ckpt_eager)
+            )
+            frontier = nxt
     return (
         visited.groupBy("hop")
         .agg(F.count("*").alias("n_vertices"), F.min("u").alias("min_part"))

@@ -473,11 +473,22 @@ def _incr_base_index(spark: SparkSession, sf_dir: str):
         # on disk, not a derivation the probe must recompute
         corpus = _near_dup_corpus(spark, sf_dir)
         base = corpus.filter(F.col("doc_id") < _DUP_OFFSET)
+        # REBALANCE before every index write (optimization r16, guide
+        # §6): the narrow-map tables (shingles, delta) otherwise
+        # inherit the scan's split count and land as dozens of KB-
+        # sized files — measured 32 files / ~64 KB each at sf0.1 — so
+        # every probe's scan stages pay ~32 tasks per table for data
+        # that fits one.  The AQE rebalance hint sizes output
+        # partitions to advisoryPartitionSizeInBytes: one file at
+        # fixture scale, 64 MB files at warehouse scale — the same
+        # knob both ways, no local constant.
         for name, df in zip(names, lsh_index(base)):
-            df.write.mode("overwrite").parquet(os.path.join(base_dir, name))
-        corpus.filter(F.col("doc_id") >= _DUP_OFFSET).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base_dir, "delta"))
+            df.hint("rebalance").write.mode("overwrite").parquet(
+                os.path.join(base_dir, name)
+            )
+        corpus.filter(F.col("doc_id") >= _DUP_OFFSET).hint(
+            "rebalance"
+        ).write.mode("overwrite").parquet(os.path.join(base_dir, "delta"))
         _INCR_IDX_DIRS[sf_dir] = base_dir
     return tuple(
         spark.read.parquet(f"{base_dir}/{name}") for name in names
@@ -596,18 +607,25 @@ def _ann_base_index(spark: SparkSession, sf_dir: str):
         nbits, tables, _, _ = lsh_plan(n, s_k)
         planes, ref_planes = _ann_plan_and_planes(nbits, tables)
         index, hot = build_lsh_ann_index(corpus, planes, ref_planes, n=n)
-        index.write.mode("overwrite").parquet(os.path.join(base_dir, "index"))
-        hot.write.mode("overwrite").parquet(os.path.join(base_dir, "hot"))
-        corpus.select("vec_id", "embedding").write.mode("overwrite").parquet(
-            os.path.join(base_dir, "vectors")
+        # rebalance-on-write: same file-sizing rationale as
+        # _incr_base_index (guide §6) — narrow-map outputs otherwise
+        # land one KB-sized file per scan split
+        index.hint("rebalance").write.mode("overwrite").parquet(
+            os.path.join(base_dir, "index")
         )
+        hot.hint("rebalance").write.mode("overwrite").parquet(
+            os.path.join(base_dir, "hot")
+        )
+        corpus.select("vec_id", "embedding").hint("rebalance").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base_dir, "vectors"))
         spark.createDataFrame([(nbits, tables)], "nbits int, tables int").write.mode(
             "overwrite"
         ).parquet(os.path.join(base_dir, "meta"))
         # the arriving batch is itself a landed table, not a derivation
-        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base_dir, "delta"))
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").hint(
+            "rebalance"
+        ).write.mode("overwrite").parquet(os.path.join(base_dir, "delta"))
         _ANN_IDX_DIRS[sf_dir] = base_dir
     return tuple(spark.read.parquet(f"{base_dir}/{name}") for name in names)
 
@@ -675,8 +693,19 @@ def llm_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_idx, hot0 = build_lsh_ann_index(
         base, planes, ref_planes, hot_width=n + 1, n=n
     )
-    appended = base_idx.unionByName(
-        lsh_ann_index_delta(delta, planes, ref_planes, hot0)
+    # eager-checkpoint the appended index once (optimization r16): it
+    # feeds SEVEN consumers (the width collect, the compaction's two
+    # drift scans + kept/affected/recapped joins, and the before
+    # count) — without truncation each re-derives the base build +
+    # delta coding; measured 41 jobs per run at sf0.1 for a 4-row
+    # answer.  In the warehouse posture this materialization is the
+    # index table itself (Parquet), exactly like _ann_base_index.
+    from pg_telemetry_spark.session import ckpt_eager
+
+    appended = ckpt_eager(
+        base_idx.unionByName(
+            lsh_ann_index_delta(delta, planes, ref_planes, hot0)
+        )
     )
     widths = sorted(
         (
@@ -692,6 +721,10 @@ def llm_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_index, new_hot, touched = lsh_ann_compact(
         appended, hot0, emb, planes, ref_planes, hot_width=hw2
     )
+    # two aggregate consumers (after + max_cold_after) read new_index
+    from pg_telemetry_spark.cache import pin as _pin
+
+    new_index = _pin(new_index)
     before = appended.groupBy().agg(F.count("*").alias("idx_rows_before"))
     after = new_index.groupBy().agg(
         F.count("*").alias("idx_rows_after"),
@@ -1195,6 +1228,13 @@ def llm_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_bucket")
         .agg(F.count("*").alias("pair_count"))
     )
+    # pin the <=20-row histogram (optimization r16): the 4-leg config
+    # union below otherwise re-runs the whole explode/join/agg
+    # pipeline once PER GRID CONFIG — measured 31 single-task jobs per
+    # run at sf0.1; each leg is a constant projection of this table
+    from pg_telemetry_spark.cache import pin
+
+    hist = pin(hist)
     s = (2 * F.col("sim_bucket") + 1).cast("double") / F.lit(40.0)
     legs = []
     for bands, rows in _BAND_GRID:

@@ -35,7 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from pg_telemetry_spark.session import app_id, prepare_session
+from pg_telemetry_spark.session import app_id, default_parallelism, prepare_session
 
 TABLE_NAMES = (
     "region",
@@ -174,6 +174,23 @@ def _cache_enabled() -> bool:
     return os.environ.get("PG_TELEMETRY_SPARK_NO_TABLE_CACHE", "") != "1"
 
 
+#: Tables whose cached relation is round-robin-rebalanced to the
+#: session's parallelism (see the comment at the rebalance site).
+#: ONLY tables with no order-dependent double accumulation feeding a
+#: hashed oracle result may be listed.  The hidden invariant that
+#: makes everything else hash-match bit-exactly is that a single-row-
+#: group file is summed in FILE ORDER by both engines (one loaded
+#: Spark split == DuckDB's sequential scan); re-ordering a PLAIN
+#: double sum/avg shifts low-order bits — measured: rebalancing
+#: lineitem flipped agg_cube(*)/wl_q1_pricing_summary, and rebalancing
+#: events flipped agg_cube (plain round(avg(value),6)) at sf0.001.
+#: The events ``value`` sums that go through queries/detsum.py are
+#: order-independent by design, but not all do, so events stays out.
+#: documents/embeddings pipelines aggregate integers, hashes, exact
+#: rationals and per-row scalars — verified across the full sweep.
+_REBALANCE_ON_CACHE = frozenset({"documents", "embeddings"})
+
+
 def clear_table_cache() -> None:
     """Unpersist and forget every cached table (test hook)."""
     for df in _TABLE_CACHE.values():
@@ -292,7 +309,26 @@ def load_table(
     key = (app_id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
-        df = _read_table(spark, sf_dir, name).persist()
+        df = _read_table(spark, sf_dir, name)
+        if name in _REBALANCE_ON_CACHE:
+            # Rebalance BEFORE persist (optimization r16, guide §2.5
+            # "one huge unsplittable file"): each fixture table is a
+            # single parquet file with ONE row group, so however many
+            # splits the scan plans, every row lands in the split
+            # covering the row group's midpoint — measured: lineitem
+            # sf0.1 scans as 3 planned / 1 loaded partition, and the
+            # cache then serializes every downstream narrow op
+            # (shingling, tokenizing, t-digest) onto one core.  A
+            # one-time round-robin repartition to the session's
+            # parallelism makes the cached relation evenly consumable
+            # (measured solo at sf0.1: llm_dup_substrings 5.0→1.4 s,
+            # llm_mmr_diversify 4.0→1.2 s, agg_tdigest 2.1→0.9 s).
+            # Cache-on is the fixture-sweep path only (see the
+            # _TABLE_CACHE note); the cold path below stays
+            # byte-identical so pushdown plans and their audits are
+            # untouched.
+            df = df.repartition(default_parallelism(spark))
+        df = df.persist()
         _TABLE_CACHE[key] = df
     return df
 

@@ -27,6 +27,21 @@ from pg_telemetry_spark.tables import clear_table_cache
 
 _ALL = all_queries()
 
+
+@pytest.fixture(autouse=True)
+def _cold_table_reads(monkeypatch):
+    """Audit the true cold pushdown plans (optimization r16): since
+    the cached-table path round-robin-rebalances documents/embeddings
+    before persist (tables.py), letting load_table repopulate the
+    cache mid-audit would count that one-per-session cache-build
+    exchange against every consumer's budget.  The env toggle gives
+    the raw scan plans this file's budgets were always calibrated
+    against (same switch tools/gen_plans.py uses)."""
+    monkeypatch.setenv("PG_TELEMETRY_SPARK_NO_TABLE_CACHE", "1")
+    clear_table_cache()
+    yield
+    clear_table_cache()
+
 #: query -> max distinct Exchange nodes allowed in the physical plan.
 #: Values are the audited round-6 cold-plan counts (this file's own
 #: protocol: both caches cleared), not aspirations.  The full bench
