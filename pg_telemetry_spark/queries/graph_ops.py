@@ -83,17 +83,33 @@ def _month_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_edges(items: DataFrame) -> DataFrame:
     """Ordered distinct edges (u < v) from per-order item pairs.
 
-    Per-order self-join: one shuffle on the order key, fan-out
-    bounded by the per-order item count, then a distinct on (u, v).
+    One shuffle on the order key: per-order item sets are gathered
+    with ``collect_set`` (bounded by the basket size — the same bound
+    the old self-join fan-out carried) and the u < v pairs are
+    emitted by a narrow array-combinations transform over the SORTED
+    set, then distinct'd on (u, v).  Optimization r16: the previous
+    per-order self-join computed its (already distinct'd) input once
+    PER SIDE and exchanged both — measured at sf0.1 the plan carried
+    5 exchanges with zero reuse; this shape needs the order-key
+    aggregation plus the edge distinct only, and feeds every graph
+    query (degree, triangles, PageRank, label propagation, BFS,
+    k-core, link prediction).  Identical edge set: the sorted set
+    makes u < v by construction, set semantics dedup within an order,
+    and the final distinct dedups across orders exactly as before.
     """
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    return (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+    sets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                " struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.u", "p.v").distinct()
 
 
 @query(
@@ -222,7 +238,7 @@ def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed per-partition work than the data).  Plan diff: the round
     # join went SortMergeJoin(exchange, exchange) -> BroadcastHashJoin
     # (plans/r16/wl_pagerank_{before,after}.txt).
-    with sized_shuffle(spark, adaptive=False):
+    with sized_shuffle(spark, partitions=8, adaptive=False):
         for _ in range(8):
             contribs = (
                 edges_deg.join(_vertex_side(ranks, n_v), "u")
@@ -281,7 +297,7 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # being re-exchanged every round, and the two per-round
     # aggregations shuffle under sized_shuffle (optimization r16).
     n_v = labels.count()
-    with sized_shuffle(sym.sparkSession, adaptive=False):
+    with sized_shuffle(sym.sparkSession, partitions=8, adaptive=False):
         for _ in range(5):
             nbr = sym.join(
                 _vertex_side(labels.select(F.col("u").alias("v"), "label"), n_v),
@@ -324,14 +340,14 @@ def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage.  Tier C: golden replays the peel in local python
     (tests/test_units_graph.py)."""
     k = 3
+    # build the edge list once and union its two orientations — the
+    # old shape called copurchase_edges(_month_items(...)) twice and
+    # re-ran the full month-join + pair fan-out + distinct pipeline
+    # for each side (optimization r16)
+    e = pin(copurchase_edges(_month_items(spark, sf_dir)))
     sym = (
-        copurchase_edges(_month_items(spark, sf_dir))
-        .select("u", "v")
-        .unionByName(
-            copurchase_edges(_month_items(spark, sf_dir)).select(
-                F.col("v").alias("u"), F.col("u").alias("v")
-            )
-        )
+        e.select("u", "v")
+        .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .transform(ckpt_eager)
     )
@@ -341,7 +357,7 @@ def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wl_pagerank, so the (checkpointed) edge table is filtered in
     # place instead of re-exchanged twice per peel round; the degree
     # aggregation is the round's one shuffle (optimization r16).
-    with sized_shuffle(sym.sparkSession, adaptive=False):
+    with sized_shuffle(sym.sparkSession, partitions=8, adaptive=False):
         for _ in range(30):
             deg = sym.groupBy("u").agg(F.count("*").alias("d"))
             keep = deg.filter(F.col("d") >= k).select("u")
@@ -399,7 +415,7 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = src.select("u", F.lit(0).alias("hop")).transform(ckpt_eager)
     frontier = visited.select("u")
-    with sized_shuffle(sym.sparkSession, adaptive=False):
+    with sized_shuffle(sym.sparkSession, partitions=8, adaptive=False):
         for hop in range(1, 11):
             nxt = (
                 sym.join(_vertex_side(frontier, n_v), "u", "left_semi")
@@ -410,15 +426,14 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = nxt.transform(ckpt_eager)
             if nxt.count() == 0:  # 1-row scalar per hop (bounded)
                 break
-            # coalesce before the checkpoint: the union adds nxt's
-            # partitions to visited's EVERY hop, so the checkpointed
-            # visited set otherwise accumulates ~hops x width blocks
-            # and every later anti-join scan pays the stack (narrow
-            # coalesce — no shuffle; 16 matches the sized_shuffle cap)
-            visited = (
-                visited.unionByName(nxt.select("u", F.lit(hop).alias("hop")))
-                .coalesce(16)
-                .transform(ckpt_eager)
+            # no checkpoint on the visited union (optimization r16):
+            # every nxt IS already checkpointed, so visited is a
+            # union of <= hops RDD-backed frames — no recompute risk,
+            # lineage depth bounded by the hop cap, and dropping the
+            # per-hop eager materialization saves one blocking job
+            # per hop
+            visited = visited.unionByName(
+                nxt.select("u", F.lit(hop).alias("hop"))
             )
             frontier = nxt
     return (

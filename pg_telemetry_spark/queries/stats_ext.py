@@ -737,31 +737,58 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     hrs = F.expr(
         "(unix_micros(h2) - unix_micros(h1)) div 3600000000"
     ).cast("bigint")
+    # Re-spread the probe side of the pair fan-out (guide §2.5): the
+    # hourly series is a few thousand rows, so AQE coalesces the agg
+    # feeding it to ONE partition — and the O(k²) pair explosion plus
+    # its map-side (event_type, slope) combine then run single-task
+    # (measured: a 2.7 s one-task stage writing the pair shuffle).
+    # The b-side is broadcast (time-bounded series under the 32 MB
+    # threshold), so the probe side needs no co-location at all — a
+    # round-robin respread of the tiny series buys full-width
+    # parallelism for the quadratic stage at the cost of shuffling a
+    # few thousand rows.
+    from pg_telemetry_spark.session import default_parallelism
+
+    a = a.repartition(default_parallelism(spark))
     pairs = (
-        a.join(b, "event_type")
+        a.join(F.broadcast(b), "event_type")
         .filter(F.col("h1") < F.col("h2"))
         .select(
             "event_type",
             F.round((F.col("v2") - F.col("v1")) / hrs, 6).alias("slope"),
-            "h1",
-            "h2",
         )
     )
+    # Optimization r16 (guide §2.3, aggregate before you shuffle): the
+    # selected value at rank ceil(n/2) under ORDER BY (slope, h1, h2)
+    # is the ceil(n/2)-th smallest SLOPE — the (h1, h2) tiebreak only
+    # permutes rows WITHIN equal slopes, never which slope holds a
+    # given rank — so the discrete median reduces to an order
+    # statistic over (slope, multiplicity).  Aggregating to per-slope
+    # counts first collapses the O(k²)-pair stream map-side (measured
+    # sf0.1: the window input drops ~1.5M wide rows -> ~100k grouped
+    # rows, the 21 MB single-task shuffle write -> ~1 MB), and the
+    # per-type sort that remains is over distinct slopes only.
+    # Result-identical by the rank argument above; the DuckDB oracle
+    # keeps the original row_number formulation.
+    cnt = pairs.groupBy("event_type", "slope").agg(F.count("*").alias("c"))
     wt = Window.partitionBy("event_type")
-    med = pairs.select(
+    cum = cnt.select(
         "event_type",
         "slope",
-        F.row_number().over(wt.orderBy("slope", "h1", "h2")).alias("rn"),
-        F.count("*").over(wt).alias("n"),
+        "c",
+        F.sum("c")
+        .over(wt.orderBy("slope").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(wt).alias("n"),
     )
-    return med.groupBy("event_type").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
-                F.col("slope"),
-            )
-        ).alias("theil_sen_slope"),
-        F.max("n").alias("n_pairs"),
+    k = F.ceil(0.5 * F.col("n")).cast("bigint")
+    return (
+        cum.filter((F.col("cum") >= k) & (F.col("cum") - F.col("c") < k))
+        .select(
+            "event_type",
+            F.col("slope").alias("theil_sen_slope"),
+            F.col("n").alias("n_pairs"),
+        )
     )
 
 
