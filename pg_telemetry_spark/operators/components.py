@@ -40,7 +40,13 @@ def connected_components(
     rounds don't reach the fixpoint."""
     from pg_telemetry_spark.session import sized_shuffle
 
-    with sized_shuffle(edges.sparkSession):
+    # partitions=8 / AQE off (optimization r16): same bounded-loop
+    # rationale and measurement protocol as the graph-ops loops —
+    # per-round state is O(nodes) labels, join strategy is fixed, and
+    # AQE's per-stage materialization barriers dominate at this width
+    # (interleaved A/B at sf0.1: llm_dedup_cc 2.5-2.9 -> 1.0-1.2 s,
+    # llm_dedup_cc_star 6.2-7.2 -> 3.0-3.5 s, identical components).
+    with sized_shuffle(edges.sparkSession, partitions=8, adaptive=False):
         return _connected_components_impl(edges, id1, id2, max_iter)
 
 
@@ -150,7 +156,8 @@ def connected_components_star(
     """
     from pg_telemetry_spark.session import sized_shuffle
 
-    with sized_shuffle(edges.sparkSession):
+    # same loop sizing as connected_components above (measured there)
+    with sized_shuffle(edges.sparkSession, partitions=8, adaptive=False):
         return _connected_components_star_impl(edges, id1, id2, max_iter)
 
 

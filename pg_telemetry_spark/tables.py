@@ -319,15 +319,20 @@ def load_table(
             # sf0.1 scans as 3 planned / 1 loaded partition, and the
             # cache then serializes every downstream narrow op
             # (shingling, tokenizing, t-digest) onto one core.  A
-            # one-time round-robin repartition to the session's
-            # parallelism makes the cached relation evenly consumable
+            # one-time round-robin repartition to an 8-way-capped
+            # width makes the cached relation evenly consumable
             # (measured solo at sf0.1: llm_dup_substrings 5.0→1.4 s,
-            # llm_mmr_diversify 4.0→1.2 s, agg_tdigest 2.1→0.9 s).
-            # Cache-on is the fixture-sweep path only (see the
-            # _TABLE_CACHE note); the cold path below stays
-            # byte-identical so pushdown plans and their audits are
-            # untouched.
-            df = df.repartition(default_parallelism(spark))
+            # llm_mmr_diversify 4.0→1.8 s).  The cap is measured, not
+            # guessed: a full-parallelism (32) rebalance taxed every
+            # sub-second consumer ~0.2-1.3 s of per-task overhead
+            # (width sweep none/8/32: llm_lm_filter 1.6/1.5/2.8 s,
+            # llm_zipf_heaps 0.7/0.7/1.2 s) while the CPU-heavy
+            # kernels saturate by 8-way at fixture volume
+            # (llm_dup_substrings 2.4/1.4/1.8 s).  Cache-on is the
+            # fixture-sweep path only (see the _TABLE_CACHE note);
+            # the cold path below stays byte-identical so pushdown
+            # plans and their audits are untouched.
+            df = df.repartition(min(default_parallelism(spark), 8))
         df = df.persist()
         _TABLE_CACHE[key] = df
     return df
