@@ -38,21 +38,14 @@ def connected_components(
     """(id, comp) for every node in ``edges``; ``comp`` = min node id
     reachable from ``id``.  Deterministic; raises if ``max_iter``
     rounds don't reach the fixpoint."""
-    from pg_telemetry_spark.session import sized_shuffle
-
-    # partitions=8 / AQE off (optimization r16): same bounded-loop
-    # rationale and measurement protocol as the graph-ops loops —
-    # per-round state is O(nodes) labels, join strategy is fixed, and
-    # AQE's per-stage materialization barriers dominate at this width
-    # (interleaved A/B at sf0.1: llm_dedup_cc 2.5-2.9 -> 1.0-1.2 s,
-    # llm_dedup_cc_star 6.2-7.2 -> 3.0-3.5 s, identical components).
-    with sized_shuffle(edges.sparkSession, partitions=8, adaptive=False):
-        return _connected_components_impl(edges, id1, id2, max_iter)
+    return _connected_components_impl(edges, id1, id2, max_iter)
 
 
 def _connected_components_impl(
     edges: DataFrame, id1: str, id2: str, max_iter: int
 ) -> DataFrame:
+    from pg_telemetry_spark.session import loop_sizing
+
     und = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -60,16 +53,48 @@ def _connected_components_impl(
     # seed with the 1-hop closed-neighborhood min (not self): shallow
     # dup graphs (pairs/triangles) then converge in ONE confirming
     # round instead of two — same agg shape as a propagation round, so
-    # it costs nothing extra
-    labels = (
-        sym.groupBy("src")
-        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
-        .select(F.col("src").alias("id"), "comp")
-        .persist()
-    )
+    # it costs nothing extra.  The seed's input is the full edge
+    # stream, so its width is the CLUSTER width (default_parallelism),
+    # not a loop constant (VERDICT r16 #1); AQE is off for this one
+    # bounded aggregation because the persist() pins the pre-coalesce
+    # plan anyway (canChangeCachedPlanOutputPartitioning=false) while
+    # each AQE query stage is an extra blocking job.
+    from pg_telemetry_spark.session import default_parallelism, sized_shuffle
+
+    with sized_shuffle(
+        edges.sparkSession,
+        partitions=default_parallelism(edges.sparkSession),
+        adaptive=False,
+    ):
+        labels = (
+            sym.groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+            .select(F.col("src").alias("id"), "comp")
+            .persist()
+        )
+        row = labels.agg(
+            F.sum("comp").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
     # monotone convergence witness: sum of labels strictly decreases
-    # until fixpoint (labels only ever shrink toward the component min)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # until fixpoint (labels only ever shrink toward the component
+    # min).  The node count rides the same collect for free and sizes
+    # the loop's shuffle width (optimization r17): per-round state is
+    # O(nodes) labels, and dedup-shaped graphs have O(1) average
+    # degree (pairs come out of star-degraded buckets), so the node
+    # count is a faithful proxy for the per-round join volume.  AQE
+    # stays off only in this derived-width regime; a graph past the
+    # small cap runs the loop under the session conf unchanged
+    # (r16 measured the capped regime at 8: llm_dedup_cc 2.5-2.9 ->
+    # 1.0-1.2 s, llm_dedup_cc_star 6.2-7.2 -> 3.0-3.5 s, identical
+    # components).
+    prev_sum, n_nodes = row["s"], row["n"]
+    with loop_sizing(edges.sparkSession, n_nodes):
+        return _cc_loop(sym, labels, prev_sum, max_iter)
+
+
+def _cc_loop(
+    sym: DataFrame, labels: DataFrame, prev_sum, max_iter: int
+) -> DataFrame:
     for _ in range(max_iter):
         neigh = sym.join(labels, sym.dst == labels.id).groupBy("src").agg(
             F.min("comp").alias("nb_min")
@@ -154,22 +179,36 @@ def connected_components_star(
     At fixpoint every edge is (node, root), i.e. a star, which IS the
     label assignment.
     """
-    from pg_telemetry_spark.session import sized_shuffle
-
-    # same loop sizing as connected_components above (measured there)
-    with sized_shuffle(edges.sparkSession, partitions=8, adaptive=False):
-        return _connected_components_star_impl(edges, id1, id2, max_iter)
-
-
-def _connected_components_star_impl(
-    edges: DataFrame, id1: str, id2: str, max_iter: int
-) -> DataFrame:
-    und = (
-        edges.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
+    from pg_telemetry_spark.session import (
+        default_parallelism,
+        loop_sizing,
+        sized_shuffle,
     )
+
+    # The canonical edge build's input is the caller's full edge
+    # stream, so its width is the CLUSTER width, not a loop constant
+    # (VERDICT r16 #1); AQE off for this one bounded distinct because
+    # the persist() pins the pre-coalesce plan anyway while each AQE
+    # stage is an extra blocking job.  The measured distinct-edge
+    # count then derives the loop's shuffle width — same sizing rule
+    # as connected_components.
+    with sized_shuffle(
+        edges.sparkSession,
+        partitions=default_parallelism(edges.sparkSession),
+        adaptive=False,
+    ):
+        und = (
+            edges.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        n_e = und.count()
+    with loop_sizing(edges.sparkSession, n_e):
+        return _connected_components_star_impl(und, max_iter)
+
+
+def _connected_components_star_impl(und: DataFrame, max_iter: int) -> DataFrame:
     nodes = (
         und.select(F.col("u").alias("id"))
         .unionByName(und.select(F.col("v").alias("id")))

@@ -149,10 +149,34 @@ def minhash_signatures(
     ``shingle_hashes`` (longs), so each permutation hash is a
     fixed-cost long+seed xxhash64, not a string re-hash."""
     exploded = docs_with_shingles.select(id_col, F.explode("shingle_hashes").alias("sh"))
-    aggs = [
-        F.min(F.xxhash64("sh", F.lit(s))).alias(f"mh{s}") for s in range(num_perm)
-    ]
+    # F.expr strings instead of nested Column calls (optimization r17,
+    # guide §5 — the driver is part of the system): each of the 64
+    # aggregates was ~4 py4j round-trips of Column construction,
+    # measured at ~0.55 s of pure driver latency per probe build.
+    # The parsed expression is IDENTICAL (xxhash64 of the bigint
+    # shingle hash and an int literal seed) — same plan, same bits.
+    aggs = [F.expr(f"min(xxhash64(sh, {s})) AS mh{s}") for s in range(num_perm)]
     return exploded.groupBy(id_col).agg(*aggs)
+
+
+def _band_array(num_perm: int, bands: int) -> F.Column:
+    """``array(xxhash64(mh0..mh{r-1}, 0), ...)`` — the per-band bucket
+    keys, built as ONE parsed expression instead of ~6 py4j calls per
+    band (optimization r17, guide §5; identical expression tree)."""
+    rows = num_perm // bands
+    parts = ", ".join(
+        "xxhash64("
+        + ", ".join(f"mh{b * rows + i}" for i in range(rows))
+        + f", {b})"
+        for b in range(bands)
+    )
+    return F.expr(f"array({parts})")
+
+
+def _mh_array(num_perm: int) -> F.Column:
+    """``array(mh0..mh{n-1})`` as one parsed expression (same
+    rationale as :func:`_band_array`)."""
+    return F.expr("array(" + ", ".join(f"mh{s}" for s in range(num_perm)) + ")")
 
 
 def lsh_candidate_pairs(
@@ -168,14 +192,9 @@ def lsh_candidate_pairs(
     Buckets wider than ``max_bucket_size`` degrade to star pairing
     (see :func:`_bucket_pairs`; ``None`` disables the width check).
     """
-    rows = num_perm // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + i}") for i in range(rows)], F.lit(b))
-        for b in range(bands)
-    ]
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+        F.posexplode(_band_array(num_perm, bands)).alias("band", "bucket"),
     )
     return _bucket_pairs(banded, max_bucket_size).dropDuplicates(["id1", "id2"])
 
@@ -210,7 +229,7 @@ def near_duplicates(
     # under the threshold makes a false drop of a true pair
     # vanishingly unlikely (binomial tail ~5e-6 at J=threshold+0.2).
     est_threshold = max(threshold - 0.15, 0.0)
-    mh_array = F.array(*[F.col(f"mh{s}") for s in range(num_perm)])
+    mh_array = _mh_array(num_perm)
     m1 = sig.select(F.col(id_col).alias("id1"), mh_array.alias("mh1"))
     m2 = sig.select(F.col(id_col).alias("id2"), mh_array.alias("mh2"))
     est = F.size(
@@ -309,17 +328,10 @@ def lsh_index(
     """
     sh = with_shingle_hashes(docs, shingle, text_col).select(id_col, "shingle_hashes")
     sig = minhash_signatures(sh, id_col, num_perm)
-    rows = num_perm // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + i}") for i in range(rows)], F.lit(b))
-        for b in range(bands)
-    ]
     buckets = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+        F.col(id_col), F.posexplode(_band_array(num_perm, bands)).alias("band", "bucket")
     )
-    sigs = sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh{s}") for s in range(num_perm)]).alias("mh")
-    )
+    sigs = sig.select(F.col(id_col), _mh_array(num_perm).alias("mh"))
     return sh, sigs, buckets, bucket_stats(buckets, id_col)
 
 

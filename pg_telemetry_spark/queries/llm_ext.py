@@ -436,6 +436,15 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: TABLE written once at ingest, read back by every probe.
 _INCR_IDX_DIRS: dict[str, str] = {}
 
+#: (app_id, sf_dir) -> read-back DataFrames for the four index tables
+#: plus their write-time schemas.  Plan memoization only — the frames
+#: are unexecuted parquet scans (every probe still computes from
+#: disk); re-deriving them cost ~87 ms of schema inference per
+#: spark.read.parquet, x9 reads per probe build (measured r17,
+#: guide §5 — the driver is part of the system).
+_INCR_IDX_FRAMES: dict[tuple, object] = {}
+_INCR_IDX_SCHEMAS: dict[str, dict] = {}
+
 
 def _incr_base_index(spark: SparkSession, sf_dir: str):
     """Pre-built LSH index of the base corpus (shingles, signatures,
@@ -482,24 +491,53 @@ def _incr_base_index(spark: SparkSession, sf_dir: str):
         # partitions to advisoryPartitionSizeInBytes: one file at
         # fixture scale, 64 MB files at warehouse scale — the same
         # knob both ways, no local constant.
+        delta_df = corpus.filter(F.col("doc_id") >= _DUP_OFFSET)
+        schemas = {}
         for name, df in zip(names, lsh_index(base)):
             df.hint("rebalance").write.mode("overwrite").parquet(
                 os.path.join(base_dir, name)
             )
-        corpus.filter(F.col("doc_id") >= _DUP_OFFSET).hint(
-            "rebalance"
-        ).write.mode("overwrite").parquet(os.path.join(base_dir, "delta"))
+            schemas[name] = df.schema
+        delta_df.hint("rebalance").write.mode("overwrite").parquet(
+            os.path.join(base_dir, "delta")
+        )
+        schemas["delta"] = delta_df.schema
+        _INCR_IDX_SCHEMAS[base_dir] = schemas
         _INCR_IDX_DIRS[sf_dir] = base_dir
-    return tuple(
-        spark.read.parquet(f"{base_dir}/{name}") for name in names
-    )
+    # Read-back frames are memoized per (session, sf_dir) with their
+    # WRITE-TIME schemas: the explicit schema skips footer inference
+    # and is exact by construction (it is the schema the writer had).
+    from pg_telemetry_spark.session import app_id
+
+    key = (app_id(spark), sf_dir)
+    frames = _INCR_IDX_FRAMES.get(key)
+    if frames is None:
+        schemas = _INCR_IDX_SCHEMAS[base_dir]
+        frames = tuple(
+            spark.read.schema(schemas[name]).parquet(f"{base_dir}/{name}")
+            for name in names
+        )
+        _INCR_IDX_FRAMES[key] = frames
+    return frames
 
 
 def _incr_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The landed delta batch (disk table written by
-    :func:`_incr_base_index`) — read back like any ingest batch."""
+    :func:`_incr_base_index`) — read back like any ingest batch.
+    Same write-time-schema read and per-session frame memo as the
+    index tables (plan reuse only; execution always scans disk)."""
+    from pg_telemetry_spark.session import app_id
+
     _incr_base_index(spark, sf_dir)
-    return spark.read.parquet(f"{_INCR_IDX_DIRS[sf_dir]}/delta")
+    base_dir = _INCR_IDX_DIRS[sf_dir]
+    key = (app_id(spark), sf_dir, "delta")
+    df = _INCR_IDX_FRAMES.get(key)
+    if df is None:
+        df = spark.read.schema(_INCR_IDX_SCHEMAS[base_dir]["delta"]).parquet(
+            f"{base_dir}/delta"
+        )
+        _INCR_IDX_FRAMES[key] = df
+    return df
 
 
 @query("llm_dedup_incr", group="llm_ext", tier="C")
@@ -627,7 +665,18 @@ def _ann_base_index(spark: SparkSession, sf_dir: str):
             "rebalance"
         ).write.mode("overwrite").parquet(os.path.join(base_dir, "delta"))
         _ANN_IDX_DIRS[sf_dir] = base_dir
-    return tuple(spark.read.parquet(f"{base_dir}/{name}") for name in names)
+    # same per-session frame memo as _incr_base_index (plan reuse
+    # only; execution always scans the parquet tables)
+    from pg_telemetry_spark.session import app_id
+
+    key = (app_id(spark), sf_dir, "ann")
+    frames = _INCR_IDX_FRAMES.get(key)
+    if frames is None:
+        frames = tuple(
+            spark.read.parquet(f"{base_dir}/{name}") for name in names
+        )
+        _INCR_IDX_FRAMES[key] = frames
+    return frames
 
 
 @query("llm_ann_incr", group="llm_ext", tier="C")

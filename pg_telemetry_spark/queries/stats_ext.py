@@ -724,6 +724,15 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(davg("value").alias("v"))
     )
+    # Pin the hourly series: both sides of the pair fan-out read it
+    # (previously each side re-ran the corpus agg), and the measured
+    # row count gates the broadcast below instead of an unconditional
+    # hint (ADVICE r16: a wide event_type x hour series must fall
+    # back to a shuffle join, not force-broadcast past the driver).
+    from pg_telemetry_spark.cache import pin
+
+    hourly = pin(hourly)
+    n_series = hourly.count()
     a = hourly.select(
         "event_type",
         F.col("h").alias("h1"),
@@ -749,9 +758,16 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few thousand rows.
     from pg_telemetry_spark.session import default_parallelism
 
-    a = a.repartition(default_parallelism(spark))
+    #: ~60 B per (type, hour, value) row framed -> 1M rows is tens of
+    #: MB on the driver and every executor; past that the pair join
+    #: falls back to a shuffle join on event_type (the respread is
+    #: then pointless and skipped — the join exchanges anyway).
+    _BCAST_SERIES_CAP = 1_000_000
+    if n_series <= _BCAST_SERIES_CAP:
+        a = a.repartition(default_parallelism(spark))
+        b = F.broadcast(b)
     pairs = (
-        a.join(F.broadcast(b), "event_type")
+        a.join(b, "event_type")
         .filter(F.col("h1") < F.col("h2"))
         .select(
             "event_type",

@@ -39,6 +39,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let AQE re-optimize CACHE-materialization plans (optimization
+    # r17, guide §2.2): off (the Spark default), every pin()/persist()
+    # of a post-shuffle intermediate materializes at the raw
+    # shuffle-partition width — at fixture scale that is 32 near-empty
+    # cached blocks that every downstream consumer pays a map task
+    # per, per round; on, the cached relation is coalesced to AQE's
+    # advisory partition size (bytes-derived, so the same knob sizes
+    # it at warehouse scale).  Explicit repartition(N) shapes (the
+    # table-cache rebalance) and AQE-off loop bodies are unaffected —
+    # verified by probe and by the plan-budget suite.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 #: Engine join/shuffle sizing for HOST sessions (the driver's plain
@@ -167,6 +178,97 @@ def default_parallelism(spark: SparkSession) -> int:
 
 
 import contextlib
+
+
+def loop_shuffle_width(
+    spark: SparkSession,
+    n_rows: int,
+    floor: int = 8,
+    rows_per_partition: int = 250_000,
+) -> int:
+    """Shuffle width for a bounded iterative loop, derived from the
+    MEASURED per-round state size instead of a constant (optimization
+    r17, guide §2.2/§2.5; VERDICT r16 #1).
+
+    Every iterative operator already counts its state (vertices,
+    edges, labels) before the loop — this turns that count into the
+    loop's shuffle width: ``clamp(ceil(n_rows / rows_per_partition),
+    floor, default_parallelism)``.  The floor is the measured local
+    optimum (8 at fixture scale, where per-partition fixed costs
+    dominate); the ceiling is the cluster width, so a big graph's
+    per-round aggregation can use every core instead of serializing
+    on a local-mode constant.  250k state rows per partition keeps a
+    reduce partition in the tens of MB — deliberately small, because
+    loop rounds rebuild the reduce state every iteration and a round's
+    wall-clock is its slowest partition."""
+    import math
+
+    hi = max(default_parallelism(spark), floor)
+    want = max(floor, math.ceil(max(int(n_rows), 1) / rows_per_partition))
+    return min(want, hi)
+
+
+def loop_sizing(
+    spark: SparkSession,
+    n_rows: int,
+    small_cap: int = 5_000_000,
+    floor: int = 8,
+    rows_per_partition: int = 250_000,
+):
+    """Shuffle context for a bounded iterative loop BODY, chosen from
+    the measured state/edge row count (optimization r17; VERDICT r16
+    #1 and ADVICE r16 #1).
+
+    - ``n_rows <= small_cap`` (the regime where the loops' per-round
+      joins are explicitly broadcast-gated and fixed-shape): cap the
+      shuffle width at :func:`loop_shuffle_width` and disable AQE —
+      its runtime re-planning contributes nothing to a pinned-shape
+      round while every query stage it materializes is a blocking job
+      (measured r16: wl_pagerank 29→19 jobs, 3.7→2.8 s).
+    - larger graphs (the 100 TB fallback path, where the per-round
+      joins fall back to sort-merge): leave the session conf and AQE
+      UNTOUCHED — skew-join splitting and partition coalescing are
+      the scale story there, and any fixed cap would serialize the
+      cluster.
+
+    Callers pass the same gate value that drives their broadcast
+    hint (e.g. ``_BCAST_VERTEX_CAP``) so the AQE-off regime and the
+    broadcast regime coincide."""
+    if int(n_rows) <= small_cap:
+        return sized_shuffle(
+            spark,
+            partitions=loop_shuffle_width(spark, n_rows, floor, rows_per_partition),
+            adaptive=False,
+        )
+    return contextlib.nullcontext()
+
+
+def respread_if_narrow(df, width: int | None = None):
+    """Round-robin respread of a narrow projection whose scan loaded
+    fewer splits than the session parallelism (optimization r17,
+    VERDICT r16 #4; guide §2.5 'one huge unsplittable file →
+    repartition immediately after the read'): every fixture table is
+    one single-row-group parquet file, so however many splits the scan
+    plans, all rows land in ONE, serializing all downstream narrow
+    compute.  The respread is a no-op when the scan already loads at
+    least cluster-width splits (the 100 TB case), so it never adds an
+    exchange at scale.
+
+    ONLY lawful upstream of order-independent consumers — integer or
+    exact aggregations, min/max selections, mergeable sketches with a
+    tolerance contract.  A respread upstream of a plain double sum
+    changes accumulation order and breaks the bit-exact oracle hash
+    (the measured _REBALANCE_ON_CACHE boundary in tables.py); callers
+    own that proof, and the sf0.001 parity sweep is the cheap check.
+    Round-robin is retry-safe (sortBeforeRepartition, SPARK-23207).
+    """
+    spark = df.sparkSession
+    target = width or default_parallelism(spark)
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
 
 
 @contextlib.contextmanager

@@ -16,6 +16,7 @@ the capture function is replaced by ``batch_df.write.format("jdbc")``
 from __future__ import annotations
 
 import contextlib
+import os
 import tempfile
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -38,8 +39,14 @@ class FileStreamHarness:
     #: in the checkpoint at first run, so it is applied consistently
     #: for every run of this harness.  At cluster scale state
     #: partitioning follows the cluster's shuffle sizing instead —
-    #: this knob is local-harness ergonomics, not a scale setting.
-    shuffle_partitions: int = 8
+    #: this knob is local-harness ergonomics, not a scale setting,
+    #: and is env-overridable (PG_TELEMETRY_SPARK_STREAM_SHUFFLE) so
+    #: width sweeps measure the shipped kernel (optimization r17).
+    shuffle_partitions: int = field(
+        default_factory=lambda: int(
+            os.environ.get("PG_TELEMETRY_SPARK_STREAM_SHUFFLE", "8")
+        )
+    )
     #: State-store backend.  RocksDB (bundled rocksdbjni) is the scale
     #: story for stateful streaming — the default HDFS-backed provider
     #: holds every key in executor heap, so 100 TB of keyed state OOMs,

@@ -191,6 +191,32 @@ def _cache_enabled() -> bool:
 _REBALANCE_ON_CACHE = frozenset({"documents", "embeddings"})
 
 
+def _cache_rebalance_width(spark: SparkSession, path: str) -> int:
+    """Width of the one-time cached-relation rebalance, derived from
+    the table's on-disk parquet size (a driver-side ``stat`` — never a
+    Spark job): one partition per ~64 MB of parquet, floored at the
+    measured local optimum (8; the r16 width sweep showed 8 dominates
+    both the CPU-heavy kernels and the sub-second consumers at fixture
+    scale) and clamped to ``default_parallelism`` so a narrow session
+    (e.g. local[2]) is never over-partitioned.  Non-posix paths (the
+    fixture cache is local-disk only) fall back to the floor."""
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dirs, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    per_partition = 64 * 1024 * 1024
+    return min(
+        default_parallelism(spark), max(8, -(-nbytes // per_partition))
+    )
+
+
 def clear_table_cache() -> None:
     """Unpersist and forget every cached table (test hook)."""
     for df in _TABLE_CACHE.values():
@@ -331,8 +357,16 @@ def load_table(
             # (llm_dup_substrings 2.4/1.4/1.8 s).  Cache-on is the
             # fixture-sweep path only (see the _TABLE_CACHE note);
             # the cold path below stays byte-identical so pushdown
-            # plans and their audits are untouched.
-            df = df.repartition(min(default_parallelism(spark), 8))
+            # plans and their audits are untouched.  r17 (ADVICE r16
+            # #2): the width is derived from the table's on-disk
+            # size, so a warehouse-scale table cached through this
+            # path spreads ~64 MB per partition up to the cluster
+            # width instead of being squeezed into a constant 8; at
+            # fixture scale (sub-MB files) the derived width IS the
+            # measured-optimal 8.
+            df = df.repartition(
+                _cache_rebalance_width(spark, f"{sf_dir}/{name}.parquet")
+            )
         df = df.persist()
         _TABLE_CACHE[key] = df
     return df

@@ -186,3 +186,22 @@ def test_bfs_hops_matches_local_bfs(spark, sf_dir):
         for r in wl_bfs_hops(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_copurchase_edges_fat_basket(spark):
+    """A pathologically wide basket (r17: the VERDICT-r16 skew bound)
+    must emit exactly the C(k, 2) ordered pairs — the nested-generator
+    emission never materializes the pair set as one row, but the edge
+    SET is the exact all-pairs semantics regardless of basket width."""
+    import itertools
+
+    k = 500
+    items = spark.createDataFrame(
+        [(1, p) for p in range(k)] + [(2, 7), (2, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {
+        (r["u"], r["v"]) for r in copurchase_edges(items).collect()
+    }
+    expect = set(itertools.combinations(range(k), 2)) | {(3, 7)}
+    assert got == expect
