@@ -88,12 +88,22 @@ def _connected_components_impl(
     # 1.0-1.2 s, llm_dedup_cc_star 6.2-7.2 -> 3.0-3.5 s, identical
     # components).
     prev_sum, n_nodes = row["s"], row["n"]
+    from pg_telemetry_spark.session import loop_shuffle_width
+
+    # The seed cache landed at cluster width; the loop reads it every
+    # round, so narrow the VIEW to the derived loop width (coalesce is
+    # block-merging, no shuffle, no job) — the cached blocks are
+    # released after round 1 via the seed handle.
+    seed = labels
+    labels = labels.coalesce(
+        loop_shuffle_width(edges.sparkSession, n_nodes)
+    )
     with loop_sizing(edges.sparkSession, n_nodes):
-        return _cc_loop(sym, labels, prev_sum, max_iter)
+        return _cc_loop(sym, labels, seed, prev_sum, max_iter)
 
 
 def _cc_loop(
-    sym: DataFrame, labels: DataFrame, prev_sum, max_iter: int
+    sym: DataFrame, labels: DataFrame, release: DataFrame, prev_sum, max_iter: int
 ) -> DataFrame:
     for _ in range(max_iter):
         neigh = sym.join(labels, sym.dst == labels.id).groupBy("src").agg(
@@ -115,8 +125,11 @@ def _cc_loop(
             .transform(ckpt_lazy)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        # release the frame that BACKS the current labels view (the
+        # seed cache in round 1 — `labels` itself is its coalesced
+        # wrapper — the previous round's checkpoint afterwards)
+        release.unpersist()
+        release = labels = new_labels
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
@@ -204,17 +217,26 @@ def connected_components_star(
             .persist()
         )
         n_e = und.count()
+    from pg_telemetry_spark.session import loop_shuffle_width
+
+    width = loop_shuffle_width(edges.sparkSession, n_e)
     with loop_sizing(edges.sparkSession, n_e):
-        return _connected_components_star_impl(und, max_iter)
+        return _connected_components_star_impl(und, width, max_iter)
 
 
-def _connected_components_star_impl(und: DataFrame, max_iter: int) -> DataFrame:
+def _connected_components_star_impl(
+    und: DataFrame, width: int, max_iter: int
+) -> DataFrame:
     nodes = (
         und.select(F.col("u").alias("id"))
         .unionByName(und.select(F.col("v").alias("id")))
         .distinct()
         .persist()
     )
+    # narrow the loop's view of the cluster-width edge cache to the
+    # derived loop width (block merge, no shuffle) — same move as
+    # connected_components' seed
+    und_view = und.coalesce(width)
 
     def witness(e: DataFrame) -> tuple:
         row = e.select(
@@ -224,7 +246,7 @@ def _connected_components_star_impl(und: DataFrame, max_iter: int) -> DataFrame:
         ).collect()[0]
         return (row["n"], row["h"])
 
-    cur = und
+    cur = und_view
     prev_w = None  # no baseline action: round 1 can't be a fixpoint match
     for _ in range(max_iter):
         # lazy checkpoint: the witness aggregate materializes it, so

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pg_telemetry_spark.cache import pin
 from pg_telemetry_spark.registry import query
 from pg_telemetry_spark.tables import load_table
 
@@ -1016,10 +1017,20 @@ def llm_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.w2")
+    # Pin the two multi-consumer intermediates (optimization r17,
+    # guide §5 — the llm_band_tuning pattern): grams feeds FOUR
+    # consumers (uni, bi, vocab, the scoring join) and scored feeds
+    # THREE (total count, histogram CDF, final projection); without
+    # the pins each consumer re-ran the whole explode/join pipeline —
+    # measured 29 jobs / 2.0 s per run.  pin(scored) cannot move any
+    # float bit (it caches the avg's OUTPUT); pin(grams) feeds exact
+    # integer counts and the per-doc avg through an unchanged plan —
+    # parity verified by the sf0.001/sf0.01 oracle sweeps.
+    grams = pin(grams)
     uni = grams.groupBy("w1").agg(F.count("*").alias("u_n"))
     bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("b_n"))
     vocab = grams.agg(F.countDistinct("w1").alias("v"))
-    scored = (
+    scored = pin(
         grams.join(bi, ["w1", "w2"])
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))

@@ -724,15 +724,6 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(davg("value").alias("v"))
     )
-    # Pin the hourly series: both sides of the pair fan-out read it
-    # (previously each side re-ran the corpus agg), and the measured
-    # row count gates the broadcast below instead of an unconditional
-    # hint (ADVICE r16: a wide event_type x hour series must fall
-    # back to a shuffle join, not force-broadcast past the driver).
-    from pg_telemetry_spark.cache import pin
-
-    hourly = pin(hourly)
-    n_series = hourly.count()
     a = hourly.select(
         "event_type",
         F.col("h").alias("h1"),
@@ -758,14 +749,17 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few thousand rows.
     from pg_telemetry_spark.session import default_parallelism
 
-    #: ~60 B per (type, hour, value) row framed -> 1M rows is tens of
-    #: MB on the driver and every executor; past that the pair join
-    #: falls back to a shuffle join on event_type (the respread is
-    #: then pointless and skipped — the join exchanges anyway).
-    _BCAST_SERIES_CAP = 1_000_000
-    if n_series <= _BCAST_SERIES_CAP:
-        a = a.repartition(default_parallelism(spark))
-        b = F.broadcast(b)
+    a = a.repartition(default_parallelism(spark))
+    # No broadcast HINT on the b side (optimization r17, ADVICE r16):
+    # the hint was unconditional, so a wide event_type x hour series
+    # would be force-broadcast past the driver.  AQE's runtime join
+    # re-planning IS the data-derived gate: the b side's TRUE
+    # materialized size picks BroadcastHashJoin when it fits (verified
+    # in the executed plan at sf0.1; interleaved A/B hint-vs-AQE read
+    # 2.16-2.66 vs 2.17-2.29 s — free) and falls back to a shuffle
+    # join with skew handling when it does not.  A pin+count gate was
+    # also measured and REVERTED: the count job + cache materialization
+    # cost +0.3-0.9 s/run interleaved.
     pairs = (
         a.join(b, "event_type")
         .filter(F.col("h1") < F.col("h2"))

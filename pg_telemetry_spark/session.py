@@ -39,17 +39,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Let AQE re-optimize CACHE-materialization plans (optimization
-    # r17, guide §2.2): off (the Spark default), every pin()/persist()
-    # of a post-shuffle intermediate materializes at the raw
-    # shuffle-partition width — at fixture scale that is 32 near-empty
-    # cached blocks that every downstream consumer pays a map task
-    # per, per round; on, the cached relation is coalesced to AQE's
-    # advisory partition size (bytes-derived, so the same knob sizes
-    # it at warehouse scale).  Explicit repartition(N) shapes (the
-    # table-cache rebalance) and AQE-off loop bodies are unaffected —
-    # verified by probe and by the plan-budget suite.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
+    # Measured r17 and reverted: letting AQE coalesce CACHE-
+    # materialization plans cut near-empty map tasks 3-4x on pin-heavy
+    # rows (wl_pagerank 756->198 tasks) but coalesces every fixture-
+    # scale pinned intermediate to ~1 partition, SERIALIZING the
+    # CPU-heavy consumers downstream of pins (paired bench legs:
+    # llm_ann_lsh 1.49 -> 2.04/2.80 s while untouched reference rows
+    # moved ~+20% box noise only); no row's seconds improved from the
+    # task savings.  Guide §1.2: config only after algorithm — the
+    # loop widths are sized structurally instead (loop_sizing).
 }
 
 #: Engine join/shuffle sizing for HOST sessions (the driver's plain

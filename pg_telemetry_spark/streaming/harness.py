@@ -41,10 +41,17 @@ class FileStreamHarness:
     #: partitioning follows the cluster's shuffle sizing instead —
     #: this knob is local-harness ergonomics, not a scale setting,
     #: and is env-overridable (PG_TELEMETRY_SPARK_STREAM_SHUFFLE) so
-    #: width sweeps measure the shipped kernel (optimization r17).
+    #: width sweeps measure the shipped kernel.  Default 4
+    #: (optimization r17): the interleaved 8/4/2 sweep at sf0.01
+    #: measured 4 dominant — per-op mins w8→w4:
+    #: str_stream_stream_join 7.8→5.0 s, str_watermark 4.4→3.2,
+    #: str_topk_windowed 3.6→2.8, suite totals 41.9→35.2 s — while 2
+    #: was mixed (only the stream-stream join kept improving) and
+    #: halves state parallelism for no suite-level gain.  Results are
+    #: partition-count-independent (batch equivalence tests pin them).
     shuffle_partitions: int = field(
         default_factory=lambda: int(
-            os.environ.get("PG_TELEMETRY_SPARK_STREAM_SHUFFLE", "8")
+            os.environ.get("PG_TELEMETRY_SPARK_STREAM_SHUFFLE", "4")
         )
     )
     #: State-store backend.  RocksDB (bundled rocksdbjni) is the scale
